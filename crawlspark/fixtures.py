@@ -1,0 +1,328 @@
+"""Seeded synthetic-site generator (no network, no external data).
+
+Produces the deterministic fixture universe both the sequential oracle
+(crawlspark/oracle.py) and the Spark engine consume:
+
+- ``listing_pages``: page -> ordered anchors (title, href), incl. noise
+  anchors that must be filtered (reference regex ^{base}/community/\\d+$,
+  src/crawler/crawler.py:177), empty titles (crawler.py:179) and
+  cross-page duplicate URLs (seen-set dedup, crawler.py:82,169).
+- ``posts``: ground truth per post — is_vip / nullable post_count with
+  boundary values {99,100,101} exercising the skip rule crawler.py:272,
+  ordered image lists with data:-URI / .svg decoys (crawler.py:537),
+  relative+absolute+duplicate srcs, attachment anchor zoo
+  (tests/test_download_detector.py:38-56 shapes), UI-noise content lines
+  (crawler.py:375-394).
+- ``page_store``: one row per fetchable URL (listing/post/image) with
+  synthetic HTML bodies / deterministic image payloads. This table replaces
+  the network: the engine's fetch stage joins the frontier against it.
+
+Everything derives from (seed, page, pos) via random.Random so any slice is
+reproducible; scale knobs (pages, posts/page) let tests use 3x10 and bench
+hash-expand to millions.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from crawlspark import codec
+
+BASE_URL = "https://weolbu.example.com"
+CDN_HOST = "cdn.weolbu.example.com"
+IMG_HOSTS = [CDN_HOST, "img1.example.com", "img2.example.com", "img3.example.com"]
+# one deliberately hot host for the skew scenario: CDN gets the big share
+IMG_HOST_WEIGHTS = [0.55, 0.25, 0.15, 0.05]
+
+UI_NOISE_LINES = ["로그인", "회원가입", "메뉴", "검색", "홈", "마이페이지"]
+
+WORDS = (
+    "서울 아파트 전세 매매 분양 청약 금리 대출 투자 상승 하락 규제 정책 "
+    "단지 평형 호가 실거래 임대 갭투자 재건축 리모델링 학군 역세권"
+).split()
+
+ATTACH_CASES = [
+    # (href_tmpl, text, expected_detected, expected_format)
+    ("https://{cdn}/files/report_{pid}.pdf", "주간 보고서 다운로드", True, "pdf"),
+    ("https://{cdn}/files/deck_{pid}.pptx", "강의자료", True, "pptx"),
+    ("/files/doc_{pid}.docx", "문서 다운로드", True, "docx"),
+    ("/files/sheet_{pid}.xlsx", "엑셀 자료", True, "xlsx"),
+    ("/files/han_{pid}.hwp", "한글 파일", True, "hwp"),
+    ("/files/photo_{pid}.jpg", "사진", False, None),  # excluded type
+    (
+        "https://{cdn}/files/cert_{pid}.pdf",
+        "원격평생교육원 수료 증명서",
+        False,
+        None,
+    ),  # certificate decoy, download_detector.py:73-79
+    ("javascript:void(0)", "첨부파일 다운로드", True, None),  # keyword-only anchor
+]
+
+
+@dataclass
+class SiteSpec:
+    pages: int = 3
+    posts_per_page: int = 10
+    seed: int = 42
+    base_url: str = BASE_URL
+    max_images: int = 4
+    dup_rate: float = 0.15  # fraction of listing slots that repeat an earlier URL
+    noise_anchors: int = 2
+    empty_title_rate: float = 0.1
+
+
+@dataclass
+class PostTruth:
+    post_id: str
+    url: str
+    page: int
+    pos_in_page: int
+    title: str
+    author: str
+    created_at: str
+    is_vip: bool
+    post_count: int | None
+    content_lines: list[str]
+    image_srcs: list[str]  # raw srcs as they appear in HTML (incl. decoys)
+    expected_image_urls: list[str]  # absolutized, decoys dropped, ordered dedup
+    attach_cases: list[tuple[str, str, bool, str | None]]
+    expected_skipped: bool = False
+    expected_formats: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Site:
+    spec: SiteSpec
+    listing: list[list[tuple[str, str]]]  # per page: ordered (title, href)
+    posts: dict[str, PostTruth]  # post_id -> truth (first occurrence)
+    page_order: list[list[str]]  # per page: hrefs in listing order (post links only)
+
+
+def _rng(spec: SiteSpec, *parts) -> random.Random:
+    # NB: not tuple.__hash__ — str hashes are salted per-process (PYTHONHASHSEED)
+    import hashlib
+
+    key = repr((spec.seed, *parts)).encode()
+    return random.Random(
+        int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big")
+    )
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _make_post(spec: SiteSpec, page: int, pos: int, pid: int) -> PostTruth:
+    rng = _rng(spec, "post", pid)
+    post_id = str(pid)
+    url = f"{spec.base_url}/community/{post_id}"
+    title = f"{_sentence(rng, 3)} {post_id}"
+    author = f"user{rng.randrange(100)}"
+    created_at = f"2024-{rng.randrange(1, 13):02d}-{rng.randrange(1, 29):02d}"
+    is_vip = rng.random() < 0.3
+    # nullable with boundary values around 100 (skip rule crawler.py:272)
+    roll = rng.random()
+    if roll < 0.15:
+        post_count: int | None = None
+    elif roll < 0.35:
+        post_count = rng.choice([99, 100, 101])
+    else:
+        post_count = rng.randrange(0, 500)
+
+    # content: long lines + short droppables + UI noise (crawler.py:375-394)
+    content_lines = []
+    for _ in range(rng.randrange(2, 5)):
+        content_lines.append(_sentence(rng, rng.randrange(8, 15)))
+    # mention a file to exercise P12 content-reference scan on some posts
+    if rng.random() < 0.4:
+        content_lines.append(f"자료는 월부_강의노트_{post_id}.pdf 참고")
+
+    # images: 0..max in DOM order with decoys and duplicates
+    n_img = rng.randrange(0, spec.max_images + 1)
+    srcs: list[str] = []
+    expected: list[str] = []
+    for i in range(n_img):
+        fmt = rng.choice(codec.ALL_FMTS)
+        host = rng.choices(IMG_HOSTS, weights=IMG_HOST_WEIGHTS, k=1)[0]
+        if rng.random() < 0.5:
+            src = f"https://{host}/img/p{post_id}_{i}.{fmt}"
+            absolute = src
+        else:
+            src = f"/img/p{post_id}_{i}.{fmt}"
+            absolute = f"{spec.base_url}{src}"
+        srcs.append(src)
+        if absolute not in expected:
+            expected.append(absolute)
+        if rng.random() < 0.2:  # duplicate src — ordered dedup must keep first
+            srcs.append(src)
+    if rng.random() < 0.3:  # decoys dropped at crawler.py:537
+        srcs.insert(rng.randrange(0, len(srcs) + 1), "data:image/png;base64,AAAA")
+    if rng.random() < 0.3:
+        srcs.insert(rng.randrange(0, len(srcs) + 1), "/img/icon.svg")
+
+    # attachments: sample 0-3 zoo cases
+    n_att = rng.randrange(0, 4)
+    cases = rng.sample(ATTACH_CASES, n_att) if n_att else []
+    fmts: list[str] = []
+    for _, _, det, f in cases:
+        if det and f and f not in fmts:
+            fmts.append(f)
+    if any(line.endswith(".pdf 참고") for line in content_lines) and "pdf" not in fmts:
+        fmts.append("pdf")
+
+    skipped = (not is_vip) and (post_count is not None) and (post_count < 100)
+    return PostTruth(
+        post_id=post_id,
+        url=url,
+        page=page,
+        pos_in_page=pos,
+        title=title,
+        author=author,
+        created_at=created_at,
+        is_vip=is_vip,
+        post_count=post_count,
+        content_lines=content_lines,
+        image_srcs=srcs,
+        expected_image_urls=expected,
+        attach_cases=cases,
+        expected_skipped=skipped,
+        expected_formats=sorted(fmts),
+    )
+
+
+def build_site(spec: SiteSpec | None = None) -> Site:
+    spec = spec or SiteSpec()
+    listing: list[list[tuple[str, str]]] = []
+    posts: dict[str, PostTruth] = {}
+    page_order: list[list[str]] = []
+    all_prior_urls: list[str] = []
+    next_pid = 1000
+
+    for page in range(1, spec.pages + 1):
+        rng = _rng(spec, "page", page)
+        anchors: list[tuple[str, str]] = []
+        hrefs: list[str] = []
+        for pos in range(spec.posts_per_page):
+            if all_prior_urls and rng.random() < spec.dup_rate:
+                # cross-page duplicate: same URL listed again later
+                url = rng.choice(all_prior_urls)
+                pid = url.rsplit("/", 1)[-1]
+                title = posts[pid].title
+            else:
+                pid_num = next_pid
+                next_pid += 1
+                truth = _make_post(spec, page, pos, pid_num)
+                posts[truth.post_id] = truth
+                url = truth.url
+                title = truth.title
+            if rng.random() < spec.empty_title_rate:
+                title = ""  # filtered at crawler.py:179
+            anchors.append((title, url))
+            hrefs.append(url)
+            all_prior_urls.append(url)
+        # noise anchors that must NOT match ^{base}/community/\d+$
+        for j in range(spec.noise_anchors):
+            pos = rng.randrange(0, len(anchors) + 1)
+            anchors.insert(
+                pos,
+                rng.choice(
+                    [
+                        ("이벤트", f"{spec.base_url}/event/{page}{j}"),
+                        ("공지", f"{spec.base_url}/community/notice"),
+                        ("외부", "https://other.example.com/community/123"),
+                    ]
+                ),
+            )
+        listing.append(anchors)
+        page_order.append(hrefs)
+    return Site(spec=spec, listing=listing, posts=posts, page_order=page_order)
+
+
+# ---------------------------------------------------------------- HTML render
+
+
+def listing_url(spec: SiteSpec, page: int) -> str:
+    return f"{spec.base_url}/community?tab=100143&subTab=5&page={page}"
+
+
+def render_listing_html(site: Site, page: int) -> str:
+    anchors = "\n".join(
+        f'<a href="{href}">{title}</a>' for title, href in site.listing[page - 1]
+    )
+    return (
+        f"<html><head><title>커뮤니티 {page}페이지 : 월급쟁이부자들</title></head>"
+        f"<body><nav>{' '.join(UI_NOISE_LINES)}</nav>\n{anchors}\n</body></html>"
+    )
+
+
+def render_post_html(site: Site, truth: PostTruth) -> str:
+    spec = site.spec
+    vip = " 크리에이터" if truth.is_vip else ""
+    count = (
+        f" 게시글 {truth.post_count:,}" if truth.post_count is not None else ""
+    )
+    imgs = "\n".join(f'<img src="{s}">' for s in truth.image_srcs)
+    attach = "\n".join(
+        f'<a href="{h.format(cdn=CDN_HOST, pid=truth.post_id)}">{t}</a>'
+        for h, t, _, _ in truth.attach_cases
+    )
+    content = "<br>\n".join(truth.content_lines)
+    return (
+        f"<html><head><title>{truth.title} : 월급쟁이부자들</title></head><body>\n"
+        f"<nav>{' '.join(UI_NOISE_LINES)}</nav>\n"
+        f'<aside class="sidebar">작성자 {truth.author}{vip}{count}</aside>\n'
+        f'<h1 class="post-title">{truth.title}</h1>\n'
+        f'<span class="author">{truth.author}</span>\n'
+        f'<span class="date" title="{truth.created_at}">{truth.created_at}</span>\n'
+        f'<div class="post-content">{content}\n{imgs}\n{attach}</div>\n'
+        f"</body></html>"
+    )
+
+
+def image_fmt_of(url: str) -> str:
+    """Extension inference mirroring crawler.py:576-580."""
+    last = url.rsplit("/", 1)[-1].split("?")[0]
+    ext = last.rsplit(".", 1)[-1].lower() if "." in last else ""
+    return ext if ext in {"png", "jpeg", "jpg", "gif", "webp"} else "jpg"
+
+
+def image_payload(url: str, w: int = 32, h: int = 32) -> bytes:
+    fmt = image_fmt_of(url)
+    return codec.encode_image(codec.synth_pixels(url, w, h), fmt)
+
+
+def page_store_rows(site: Site, image_size: int = 32) -> list[dict]:
+    """One row per fetchable URL — the engine's synthetic network."""
+    rows: list[dict] = []
+    for page in range(1, site.spec.pages + 1):
+        rows.append(
+            {
+                "url": listing_url(site.spec, page),
+                "kind": "listing",
+                "page": page,
+                "body": render_listing_html(site, page),
+                "payload": None,
+            }
+        )
+    for truth in site.posts.values():
+        rows.append(
+            {
+                "url": truth.url,
+                "kind": "post",
+                "page": None,
+                "body": render_post_html(site, truth),
+                "payload": None,
+            }
+        )
+        for img_url in truth.expected_image_urls:
+            rows.append(
+                {
+                    "url": img_url,
+                    "kind": "image",
+                    "page": None,
+                    "body": None,
+                    "payload": image_payload(img_url, image_size, image_size),
+                }
+            )
+    return rows

@@ -1,0 +1,316 @@
+"""Sequential oracle — pure-Python restatement of the reference crawl loop.
+
+Re-states the live control flow of the reference crawler
+(src/crawler/crawler.py:650-726 page loop, 225-326 per-post processing,
+518-601 ordered image emission, src/storage/storage.py:33-95 dedup sink)
+over the synthetic site from crawlspark/fixtures.py, producing the golden
+outputs the Spark engine must match byte-for-byte (BASELINE.json north
+rule: "matching the reference's crawl ordering and URL-seen set under the
+same seed list + politeness budget"):
+
+- ``crawl_order``  : total visit order (seq, url, page, pos_in_page)
+- ``seen``         : final URL-seen set
+- ``records``      : JSONL-shaped post records (storage.py:67-82 field order)
+- ``images``       : graft-input-table rows (image_id, bytes, w, h, fmt,
+                     caption, phash) in (page, pos_in_page, img_idx) order
+- ``stats``        : the reference's counter dict (crawler.py:652-658, 718)
+- ``virtual_seconds``: politeness accounting — the wall-clock the reference
+  would have spent under its hardcoded delays (3s page load crawler.py:141,
+  3s post nav crawler.py:331, 1s inter-page crawler.py:688) and the global
+  token budget of 5 requests / 10 s (src/config.py:75-77).  The engine
+  reproduces this number from the same accounting rules (deterministic —
+  tokens, not sleeps).
+
+This module intentionally avoids any Spark; it is the independent check.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from crawlspark import codec
+from crawlspark.fixtures import (
+    Site,
+    image_fmt_of,
+    image_payload,
+    render_listing_html,
+    render_post_html,
+)
+
+# NOTE on seen semantics: the live reference declares `visited_urls`
+# (crawler.py:82) but never consults it before `_process_post`; cross-page
+# duplicate suppression actually happens at the storage sink (storage.py:44-53,
+# keyed by post_id) and in the legacy listing path
+# (legacy/crawler_legacy.py:258-268).  The final record set is identical either
+# way.  The engine's north rule mandates a frontier URL-seen filter, so oracle
+# and engine both use *seen-before-visit* (global first-occurrence): a URL is
+# visited at its first listing occurrence only.
+
+# politeness constants (reference values; see BASELINE.md)
+WAIT_PAGE_LOAD = 3.0  # crawler.py:141
+WAIT_POST_NAV = 3.0  # crawler.py:331
+WAIT_BETWEEN_PAGES = 1.0  # crawler.py:688
+RATE_LIMIT_REQUESTS = 5  # config.py:75
+RATE_LIMIT_PERIOD = 10.0  # config.py:76
+
+CERT_PATTERNS = ["원격평생교육원", "certificate", "인증서", "증명서", "수료증"]
+DOC_EXTS = ["pdf", "pptx", "ppt", "docx", "doc", "hwp", "xlsx", "xls"]
+EXCLUDED_EXTS = {"jpg", "jpeg", "png", "gif", "svg"}
+FORMAT_NORM = {"ppt": "pptx", "doc": "docx", "xls": "xlsx"}
+DOWNLOAD_KEYWORDS = ["다운로드", "download", "첨부파일"]
+FILE_REF_RE = re.compile(r"([가-힣\w\-\[\]\(\)]+\.(pdf|pptx?|docx?|hwp|xlsx?|xls))")
+
+
+@dataclass
+class TokenBucket:
+    """Deterministic virtual-time politeness accounting (5 req / 10 s)."""
+
+    times: list[float] = field(default_factory=list)
+    now: float = 0.0
+
+    def advance(self, seconds: float) -> None:
+        self.now += seconds
+
+    def request(self) -> float:
+        window = [t for t in self.times[-RATE_LIMIT_REQUESTS:]]
+        if len(window) >= RATE_LIMIT_REQUESTS:
+            earliest = self.times[-RATE_LIMIT_REQUESTS]
+            self.now = max(self.now, earliest + RATE_LIMIT_PERIOD)
+        self.times.append(self.now)
+        return self.now
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[tuple[int, str, int, int]]
+    seen: set[str]
+    records: list[dict]
+    images: list[dict]
+    stats: dict
+    virtual_seconds: float
+
+
+def _extract_links(base_url: str, html: str) -> list[tuple[str, str]]:
+    """Anchor extract + regex filter + per-page first-occurrence dedup
+    (crawler.py:165-186)."""
+    out: list[tuple[str, str]] = []
+    seen_page: set[str] = set()
+    pat = re.compile(rf"^{re.escape(base_url)}/community/\d+$")
+    for m in re.finditer(r'<a href="([^"]*)">([^<]*)</a>', html):
+        href, title = m.group(1), m.group(2).strip()
+        if not pat.match(href) or not title or href in seen_page:
+            continue
+        seen_page.add(href)
+        out.append((title, href))
+    return out
+
+
+def _sidebar(html: str) -> str:
+    m = re.search(r'<aside class="sidebar">(.*?)</aside>', html, re.S)
+    return m.group(1) if m else ""
+
+
+def _post_count(sidebar_text: str) -> int | None:
+    m = re.search(r"게시글\s*([\d,]+)", sidebar_text)
+    if not m:
+        return None
+    m2 = re.search(r"\d+", m.group(1).replace(",", ""))
+    return int(m2.group()) if m2 else None
+
+
+def _title(html: str) -> str:
+    m = re.search(r'<h1 class="post-title">(.*?)</h1>', html, re.S)
+    if m and m.group(1).strip():
+        return m.group(1).strip()
+    m = re.search(r"<title>(.*?)</title>", html, re.S)
+    return re.sub(r" : 월급쟁이부자들$", "", m.group(1)).strip() if m else ""
+
+
+def _content(html: str) -> str:
+    m = re.search(r'<div class="post-content">(.*?)</div>', html, re.S)
+    if not m:
+        return ""
+    text = re.sub(r"<img [^>]*>", "", m.group(1))
+    text = re.sub(r"<a [^>]*>[^<]*</a>", "", text)
+    text = text.replace("<br>", "\n")
+    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    return "\n".join(lines)
+
+
+def _meta(html: str) -> tuple[str, str]:
+    am = re.search(r'<span class="author">(.*?)</span>', html)
+    dm = re.search(r'<span class="date" title="(\d{4}-\d{2}-\d{2})"', html)
+    return (am.group(1).strip() if am else "", dm.group(1) if dm else "")
+
+
+def _image_urls(base_url: str, html: str) -> list[str]:
+    """DOM-ordered img srcs, drop data:/svg, absolutize, ordered dedup
+    (crawler.py:521-557)."""
+    m = re.search(r'<div class="post-content">(.*?)</div>', html, re.S)
+    scope = m.group(1) if m else html
+    out: list[str] = []
+    for sm in re.finditer(r'<img src="([^"]*)"', scope):
+        src = sm.group(1)
+        if src.startswith("data:") or src.endswith(".svg"):
+            continue
+        absu = src if src.startswith("http") else base_url + src
+        if absu not in out:
+            out.append(absu)
+    return out
+
+
+def _detect_downloads(html: str, content: str) -> tuple[bool, list[str], list[str]]:
+    """Anchor + content-reference + keyword detection with certificate filter
+    and format normalization (download_detector.py:64-79, 170-267, 271-469).
+
+    Returns (has_download, formats, link_urls)."""
+    formats: list[str] = []
+    links: list[str] = []
+    has = False
+    m = re.search(r'<div class="post-content">(.*?)</div>', html, re.S)
+    scope = m.group(1) if m else html
+    for am in re.finditer(r'<a href="([^"]*)">([^<]*)</a>', scope):
+        href, text = am.group(1), am.group(2)
+        blob = (href + " " + text).lower()
+        if any(p.lower() in blob for p in CERT_PATTERNS):
+            continue  # certificate decoy (download_detector.py:73-79)
+        last = href.rsplit("/", 1)[-1].split("?")[0]
+        ext = last.rsplit(".", 1)[-1].lower() if "." in last else ""
+        if ext in EXCLUDED_EXTS:
+            continue  # excluded image types (config.py:83-85)
+        if ext in DOC_EXTS:
+            has = True
+            norm = FORMAT_NORM.get(ext, ext)
+            if norm not in formats:
+                formats.append(norm)
+            if href not in links:
+                links.append(href)
+        elif any(k in text.lower() or k in href.lower() for k in DOWNLOAD_KEYWORDS):
+            has = True  # keyword-only anchor, format unknown
+            if href not in links:
+                links.append(href)
+    # content file-reference scan (download_detector.py:218-256)
+    for fm in FILE_REF_RE.finditer(content):
+        has = True
+        ext = fm.group(2).lower()
+        norm = FORMAT_NORM.get(ext, ext)
+        if norm not in formats:
+            formats.append(norm)
+    return has, formats, links
+
+
+def _download_summary(has: bool, formats: list[str], n_links: int) -> str:
+    """Three-case summary text (src/models/models.py:228-255)."""
+    if has:
+        if formats:
+            fstr = ", ".join(formats)
+            if n_links > 0:
+                return f"[다운로드 파일: {fstr}, {n_links}개 파일] "
+            return f"[다운로드 파일: {fstr}] "
+        if n_links > 0:
+            return f"[다운로드 가능: {n_links}개 파일] "
+        return "[다운로드 감지됨] "
+    return "[다운로드 없음] "
+
+
+def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -> OracleResult:
+    spec = site.spec
+    visited: set[str] = set()
+    crawl_order: list[tuple[int, str, int, int]] = []
+    records: dict[str, dict] = {}
+    images: list[dict] = []
+    stats = {
+        "pages_processed": 0,
+        "posts_processed": 0,
+        "posts_skipped": 0,
+        "posts_with_downloads": 0,
+        "files_processed": 0,
+        "errors": 0,
+    }
+    bucket = TokenBucket()
+    seq = 0
+
+    pages = spec.pages if max_pages is None else min(spec.pages, max_pages)
+    for page in range(1, pages + 1):
+        bucket.request()  # listing fetch
+        bucket.advance(WAIT_PAGE_LOAD)
+        html = render_listing_html(site, page)
+        links = _extract_links(spec.base_url, html)
+        pos_visit = 0
+        for _title_txt, url in links:
+            if url in visited:
+                continue  # global seen set (crawler.py:82)
+            visited.add(url)
+            bucket.request()  # post fetch
+            bucket.advance(WAIT_POST_NAV)
+            crawl_order.append((seq, url, page, pos_visit))
+            seq += 1
+            pos_visit += 1
+
+            post_id = url.rsplit("/", 1)[-1]
+            truth = site.posts[post_id]
+            phtml = render_post_html(site, truth)
+
+            side = _sidebar(phtml)
+            is_vip = ("크리에이터" in side) or ("에이스" in side)
+            count = _post_count(side)
+            if (not is_vip) and (count is not None) and (count < 100):
+                stats["posts_skipped"] += 1
+                continue  # skip rule crawler.py:272 — visited but not processed
+
+            title = _title(phtml)
+            content = _content(phtml)
+            author, date = _meta(phtml)
+            img_urls = _image_urls(spec.base_url, phtml)
+            for i, iurl in enumerate(img_urls):
+                bucket.request()  # image fetch
+                fmt = image_fmt_of(iurl)
+                data = image_payload(iurl, image_size, image_size)
+                pixels = codec.decode_image(data, fmt)
+                images.append(
+                    {
+                        "image_id": f"{post_id}_{i + 1}",
+                        "post_id": post_id,
+                        "url": iurl,
+                        "img_idx": i + 1,
+                        "page": page,
+                        "pos_in_page": pos_visit - 1,
+                        "bytes": data,
+                        "w": image_size,
+                        "h": image_size,
+                        "fmt": fmt,
+                        "caption": title,
+                        "phash": codec.phash64(pixels),
+                    }
+                )
+                stats["files_processed"] += 1
+
+            has_dl, formats, link_urls = _detect_downloads(phtml, content)
+            if has_dl:
+                stats["posts_with_downloads"] += 1
+            records[post_id] = {
+                "url": url,
+                "meta": {"title": title, "author": author, "date": date},
+                "body": content,
+                "parsed_content": content,
+                "file_sources": link_urls,
+                "crawl_timestamp": f"wave-{page}",  # deterministic (see SURVEY §7.3)
+                "post_id": post_id,
+                "_download_summary": _download_summary(has_dl, formats, len(link_urls)),
+                "has_download": has_dl,
+                "file_formats": formats,
+            }
+            stats["posts_processed"] += 1
+        stats["pages_processed"] += 1
+        bucket.advance(WAIT_BETWEEN_PAGES)
+
+    ordered_records = [records[k] for k in sorted(records)]  # storage.py:53,65
+    return OracleResult(
+        crawl_order=crawl_order,
+        seen=visited,
+        records=ordered_records,
+        images=images,
+        stats=stats,
+        virtual_seconds=bucket.now,
+    )
