@@ -1,0 +1,423 @@
+"""Wave-loop crawl driver — the engine's `main.py` analog.
+
+Replaces the reference's strictly sequential page loop
+(crawler.py:650-726) with a driver-side loop of *batch waves*: each wave
+takes a band of listing pages, runs the whole
+fetch→parse→dedup→filter→extract→decode pipeline as ONE Catalyst-optimized
+DAG, and commits posts/images/seen/lineage/checkpoint/metrics atomically
+via the snapshot catalog. Ordering is structural — (page, pos_in_page,
+img_idx) travel as columns — so parallel execution reproduces the
+reference's sequential visit order byte-for-byte (SURVEY §4.2.1).
+
+Resume: the checkpoints table records the last committed wave; a restarted
+run skips completed waves and the seen table + bloom filter carry forward,
+so the final state is identical to an uninterrupted run (north rule:
+"resumable from checkpoint").
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawlspark import ops, schema
+from crawlspark.catalog import Catalog
+from crawlspark.imageops import decode_image_udf
+from crawlspark.parse import coalesced_title, parse_html
+from crawlspark.politeness import RATE_LIMIT_PERIOD, RATE_LIMIT_REQUESTS
+from crawlspark.seen import BloomSeen
+
+WAIT_PAGE_LOAD = 3.0
+WAIT_POST_NAV = 3.0
+WAIT_BETWEEN_PAGES = 1.0
+
+
+class _BucketState:
+    """Politeness token-bucket state (5 req / 10 s, config.py:75-77 analog).
+
+    Carried ACROSS waves — the rate window can span a wave boundary, so the
+    last `burst` request times + current virtual now are checkpoint state
+    (persisted in the metrics commit metadata, restored on resume)."""
+
+    def __init__(self, times: list[float] | None = None, now: float = 0.0):
+        self.times = list(times or [])
+        self.now = now
+
+    def request(self, sleep_before: float) -> float:
+        self.now += sleep_before
+        if len(self.times) >= RATE_LIMIT_REQUESTS:
+            self.now = max(
+                self.now, self.times[-RATE_LIMIT_REQUESTS] + RATE_LIMIT_PERIOD
+            )
+        self.times.append(self.now)
+        self.times = self.times[-RATE_LIMIT_REQUESTS:]
+        return self.now
+
+    def to_meta(self) -> dict:
+        return {"bucket_times": self.times, "bucket_now": self.now}
+
+
+@dataclass
+class CrawlResult:
+    stats: dict
+    virtual_seconds: float
+    waves: int
+
+
+def _listing_frontier(spark: SparkSession, base_url: str, pages: list[int]) -> DataFrame:
+    rows = [
+        (f"{base_url}/community?tab=100143&subTab=5&page={p}", p) for p in pages
+    ]
+    return spark.createDataFrame(rows, "url string, page int")
+
+
+def crawl(
+    spark: SparkSession,
+    page_store: DataFrame,
+    base_url: str,
+    workdir: str,
+    pages: int,
+    pages_per_wave: int = 0,
+    run_id: str | None = None,
+    image_keep_bytes: bool = True,
+) -> CrawlResult:
+    """Crawl the synthetic site in `page_store`, committing state under
+    `workdir`. pages_per_wave=0 → everything in one wave."""
+    cat = Catalog(workdir)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    bloom = BloomSeen()
+    seen_df = cat.read(spark, "seen")
+    if seen_df is not None:
+        bloom.add_urls(seen_df)
+
+    done_waves = set()
+    cp = cat.read(spark, "checkpoints")
+    if cp is not None:
+        done_waves = {r["wave"] for r in cp.select("wave").distinct().collect()}
+    # restore politeness bucket state from the last committed metrics meta
+    bucket = _BucketState()
+    mlog = cat.log("metrics")
+    if mlog:
+        last = mlog[-1]
+        bucket = _BucketState(last.get("bucket_times"), last.get("bucket_now", 0.0))
+
+    page_store = page_store.cache()
+    band = pages_per_wave if pages_per_wave > 0 else pages
+    bands = [
+        list(range(start, min(start + band, pages + 1)))
+        for start in range(1, pages + 1, band)
+    ]
+
+    totals = {
+        "pages_processed": 0,
+        "posts_processed": 0,
+        "posts_skipped": 0,
+        "posts_with_downloads": 0,
+        "files_processed": 0,
+        "errors": 0,
+    }
+    virtual = 0.0
+
+    for wave, page_band in enumerate(bands, start=1):
+        if wave in done_waves:
+            continue  # committed by a previous run; totals recomputed below
+        stats, vsec = _run_wave(
+            spark, cat, bloom, page_store, base_url, run_id, wave, page_band,
+            image_keep_bytes, bucket,
+        )
+        for k in totals:
+            totals[k] += stats[k]
+        virtual += vsec
+
+    # totals from the metrics table are authoritative (resume-safe)
+    m = cat.read(spark, "metrics")
+    if m is not None:
+        agg = m.agg(
+            *[F.sum(c).alias(c) for c in totals],
+            F.sum("virtual_seconds").alias("virtual_seconds"),
+        ).collect()[0]
+        totals = {k: int(agg[k]) for k in totals}
+        virtual = float(agg["virtual_seconds"])
+    return CrawlResult(stats=totals, virtual_seconds=virtual, waves=len(bands))
+
+
+def _run_wave(
+    spark: SparkSession,
+    cat: Catalog,
+    bloom: BloomSeen,
+    page_store: DataFrame,
+    base_url: str,
+    run_id: str,
+    wave: int,
+    page_band: list[int],
+    image_keep_bytes: bool,
+    bucket: _BucketState,
+) -> tuple[dict, float]:
+    # ---- S1: listing fetch (frontier ⋈ page_store) + parse
+    frontier = _listing_frontier(spark, base_url, page_band)
+    listings = (
+        frontier.join(
+            page_store.filter(F.col("kind") == "listing").select("url", "body"),
+            "url",
+        )
+        .withColumn("parsed", parse_html(F.col("body")))
+        .select("url", "page", "parsed")
+    )
+    listings = listings.cache()
+    pages_with_posts = listings.count()
+
+    # ---- P1: link extraction + per-page dedup
+    links = ops.extract_links(listings, base_url)
+
+    # ---- J2: global seen filter — in-band first occurrence, then bloom +
+    # exact anti-join against the persistent seen table (cross-wave)
+    links = ops.first_occurrence(links, "url", ["page", "link_pos"])
+    seen_df = cat.read(spark, "seen")
+    links = bloom.filter_new(spark, links, seen_df)
+
+    # ---- W2: structural visit order within the band
+    w_page = Window.partitionBy("page").orderBy("link_pos")
+    links = links.withColumn("pos_in_page", F.row_number().over(w_page) - 1)
+    links = links.cache()
+
+    # ---- S4: post fetch + parse
+    posts = (
+        links.join(
+            page_store.filter(F.col("kind") == "post").select(
+                "url", F.col("body").alias("post_body")
+            ),
+            "url",
+        )
+        .withColumn("parsed", parse_html(F.col("post_body")))
+        .withColumn("post_id", F.element_at(F.split("url", "/"), -1))
+        .select("url", "post_id", "page", "pos_in_page", "link_pos", "parsed")
+    )
+
+    # ---- P2-P4: VIP / post-count / skip filter
+    posts = posts.withColumn(
+        "is_vip", ops.vip_flag(F.col("parsed.sidebar_text"))
+    ).withColumn("post_count", ops.post_count(F.col("parsed.sidebar_text")))
+    posts = posts.withColumn(
+        "kept", ops.keep_predicate(F.col("is_vip"), F.col("post_count"))
+    )
+    posts = posts.cache()
+    kept = posts.filter("kept")
+
+    # ---- P9/P10/W1: ordered image rows for kept posts
+    imgs = ops.image_urls_per_post(
+        kept.select("post_id", "page", "pos_in_page", "parsed"), base_url
+    )
+    imgs = imgs.withColumn("fmt", ops.infer_ext(F.col("img_url")))
+    # S5: image fetch (⋈ payload) + decode — bytes stay within this stage
+    imgs = imgs.join(
+        page_store.filter(F.col("kind") == "image").select(
+            F.col("url").alias("img_url"), "payload"
+        ),
+        "img_url",
+        "left",
+    )
+    imgs = imgs.withColumn(
+        "dec", decode_image_udf(F.col("payload"), F.col("fmt"))
+    )
+    captions = kept.select(
+        "post_id", coalesced_title(F.col("parsed")).alias("caption")
+    )
+    images_out = (
+        imgs.join(captions, "post_id")
+        .select(
+            F.concat_ws("_", "post_id", "img_idx").alias("image_id"),
+            F.col("payload").alias("bytes"),
+            F.col("dec.w").alias("w"),
+            F.col("dec.h").alias("h"),
+            "fmt",
+            "caption",
+            F.col("dec.phash").alias("phash"),
+            "post_id",
+            F.col("img_url").alias("url"),
+            "img_idx",
+            "page",
+            "pos_in_page",
+        )
+    )
+    if not image_keep_bytes:
+        images_out = images_out.withColumn("bytes", F.lit(None).cast("binary"))
+    images_out = images_out.cache()
+
+    # ---- P5-P8 + P11-P19 + A2-A4: record assembly
+    detect = ops.detect_downloads(kept.select("post_id", "parsed"))
+    records = (
+        kept.select(
+            "url",
+            "post_id",
+            "page",
+            "pos_in_page",
+            coalesced_title(F.col("parsed")).alias("title"),
+            F.col("parsed.author").alias("author"),
+            F.col("parsed.date").alias("date"),
+            F.col("parsed.content").alias("content"),
+        )
+        .join(detect, "post_id", "left")
+        .select(
+            "url",
+            F.struct(
+                F.col("title"), F.col("author"), F.col("date")
+            ).alias("meta"),
+            F.col("content").alias("body"),
+            F.col("content").alias("parsed_content"),
+            F.coalesce("file_sources", F.array().cast("array<string>")).alias(
+                "file_sources"
+            ),
+            F.concat(F.lit("wave-"), F.col("page").cast("string")).alias(
+                "crawl_timestamp"
+            ),
+            "post_id",
+            F.coalesce("_download_summary", F.lit("[다운로드 없음] ")).alias(
+                "_download_summary"
+            ),
+            F.coalesce("has_download", F.lit(False)).alias("has_download"),
+            F.coalesce("file_formats", F.array().cast("array<string>")).alias(
+                "file_formats"
+            ),
+            "page",
+            "pos_in_page",
+        )
+    )
+
+    # ---- stats (A1)
+    n_posts = kept.count()
+    n_skipped = posts.filter(~F.col("kept")).count()
+    n_images = images_out.count()
+    n_downloads = records.filter("has_download").count()
+
+    # ---- politeness accounting (virtual time, global budget — config.py:75-77)
+    vsec = _virtual_seconds(posts, imgs, page_band, bucket)
+
+    # ---- commits (snapshot catalog; one pointer swap per table)
+    order_rows = links.select(
+        "url",
+        "page",
+        "pos_in_page",
+        F.lit(wave).alias("wave"),
+    )
+    cat.merge_new(spark, records.orderBy("post_id"), "posts", key="post_id",
+                  meta={"wave": wave})
+    cat.merge_new(
+        spark,
+        images_out.orderBy("page", "pos_in_page", "img_idx"),
+        "images",
+        key="image_id",
+        meta={"wave": wave},
+    )
+    cat.merge_new(
+        spark,
+        links.select("url", F.lit(wave).alias("wave")),
+        "seen",
+        key="url",
+        meta={"wave": wave},
+    )
+    cat.append(spark, order_rows, "crawl_order", meta={"wave": wave})
+    lineage = links.select(
+        F.col("url").alias("child_url"),
+        F.concat(
+            F.lit(f"{base_url}/community?tab=100143&subTab=5&page="),
+            F.col("page").cast("string"),
+        ).alias("parent_url"),
+        F.lit(wave).alias("wave"),
+        F.col("pos_in_page").alias("pos"),
+    ).unionByName(
+        images_out.select(
+            F.col("url").alias("child_url"),
+            F.concat(F.lit(f"{base_url}/community/"), F.col("post_id")).alias(
+                "parent_url"
+            ),
+            F.lit(wave).alias("wave"),
+            F.col("img_idx").alias("pos"),
+        )
+    )
+    cat.append(spark, lineage, "lineage", meta={"wave": wave})
+    # per-partition checkpoint rows
+    cp = links.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("fetched")
+    )
+    cp = cp.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(wave).alias("wave"),
+        "partition_id",
+        F.col("fetched").cast("long").alias("frontier_offset"),
+        F.lit(bloom.version).alias("seen_shard_version"),
+        F.col("fetched").cast("long").alias("fetched"),
+        F.col("fetched").cast("long").alias("parsed"),
+        F.lit(0).cast("long").alias("errors"),
+        F.lit(f"wave-{wave}").alias("committed_at"),
+    )
+    stats = {
+        "pages_processed": pages_with_posts,
+        "posts_processed": n_posts,
+        "posts_skipped": n_skipped,
+        "posts_with_downloads": n_downloads,
+        "files_processed": n_images,
+        "errors": 0,
+    }
+    metrics_row = spark.createDataFrame(
+        [
+            (
+                run_id,
+                wave,
+                *[stats[k] for k in (
+                    "pages_processed", "posts_processed", "posts_skipped",
+                    "posts_with_downloads", "files_processed", "errors",
+                )],
+                vsec,
+            )
+        ],
+        schema.METRICS,
+    )
+    cat.append(
+        spark, metrics_row, "metrics", meta={"wave": wave, **bucket.to_meta()}
+    )
+    # checkpoint LAST — its presence marks the wave complete (resume token)
+    cat.append(spark, cp, "checkpoints", meta={"wave": wave})
+
+    # update bloom with this wave's URLs
+    bloom.add_urls(links)
+    listings.unpersist()
+    links.unpersist()
+    posts.unpersist()
+    images_out.unpersist()
+    return stats, vsec
+
+
+def _virtual_seconds(
+    posts: DataFrame, imgs: DataFrame, page_band: list[int], bucket: _BucketState
+) -> float:
+    """Reproduce the oracle's TokenBucket.now: build the structurally-ordered
+    request event sequence (listing, post, image fetches with their
+    inter-request sleeps) and run the exact bucket recurrence, carrying
+    state across waves. The event list is tiny (1 row per request, no
+    payloads) — metrics path only. Returns this wave's delta seconds."""
+    img_counts = {
+        r["post_id"]: r["n"]
+        for r in imgs.groupBy("post_id").agg(F.count("*").alias("n")).collect()
+    }
+    pid_rows = posts.select("page", "pos_in_page", "post_id", "kept").collect()
+    by_page: dict[int, list] = {}
+    for r in pid_rows:
+        by_page.setdefault(r["page"], []).append(r)
+    start = bucket.now
+    pending = 0.0
+    for p in page_band:
+        bucket.request(pending)  # listing fetch
+        pending = WAIT_PAGE_LOAD
+        for r in sorted(by_page.get(p, []), key=lambda r: r["pos_in_page"]):
+            bucket.request(pending)  # post fetch
+            pending = WAIT_POST_NAV
+            if r["kept"]:
+                for _ in range(img_counts.get(r["post_id"], 0)):
+                    bucket.request(pending)  # image fetch
+                    pending = 0.0
+        bucket.now += pending + WAIT_BETWEEN_PAGES  # trailing page advances
+        pending = 0.0
+    return bucket.now - start

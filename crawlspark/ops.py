@@ -1,0 +1,320 @@
+"""Relational crawl operators — pure DataFrame column expressions.
+
+Each function is the Spark-first re-expression of one operator row from
+SURVEY.md §2 (reference file:line cited per function). No Python UDFs here:
+everything is built-in pyspark.sql.functions, so the whole layer runs inside
+whole-stage codegen and Catalyst is free to push filters below it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark.canonical import absolutize
+
+# -------------------------------------------------------------- P1: links
+
+
+def extract_links(listing: DataFrame, base_url: str) -> DataFrame:
+    """P1 (crawler.py:165-186): from listing-page anchors, keep hrefs
+    matching ^{base}/community/\\d+$ with non-empty titles; per-page
+    first-occurrence dedup. Input: (page:int, parsed:PARSED_PAGE).
+    Output: (page, link_pos, url, link_title)."""
+    pat = f"^{base_url}/community/[0-9]+$".replace(".", r"\.")
+    a = listing.select(
+        "page", F.posexplode(F.col("parsed.anchors")).alias("pos", "anchor")
+    ).select(
+        "page",
+        "pos",
+        F.col("anchor.href").alias("url"),
+        F.trim(F.col("anchor.text")).alias("link_title"),
+    )
+    a = a.filter(F.col("url").rlike(pat) & (F.col("link_title") != ""))
+    w = Window.partitionBy("page", "url").orderBy("pos")
+    a = a.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    w2 = Window.partitionBy("page").orderBy("pos")
+    return a.withColumn("link_pos", F.row_number().over(w2) - 1).drop("pos")
+
+
+def first_occurrence(df: DataFrame, key: str, order: list[str]) -> DataFrame:
+    """W3 (crawler.py:169-181, storage.py:220-222): global first-occurrence-
+    wins dedup by structural order — never by arrival."""
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ----------------------------------------------------- P2-P4: skip filter
+
+
+def vip_flag(sidebar: Column) -> Column:
+    """P2 (crawler.py:242-252): sidebar mentions 크리에이터 or 에이스."""
+    sb = F.coalesce(sidebar, F.lit(""))
+    return sb.contains("크리에이터") | sb.contains("에이스")
+
+
+def post_count(sidebar: Column) -> Column:
+    """P3 (crawler.py:254-265): first integer after 게시글, commas stripped;
+    null when absent."""
+    raw = F.regexp_extract(F.coalesce(sidebar, F.lit("")), r"게시글\s*([\d,]+)", 1)
+    digits = F.regexp_extract(F.regexp_replace(raw, ",", ""), r"\d+", 0)
+    return F.nullif(digits, F.lit("")).cast("int")
+
+
+def keep_predicate(is_vip: Column, count: Column) -> Column:
+    """P4 flagship skip filter (crawler.py:267-274): keep iff vip OR count
+    unknown OR count >= 100. Three-valued-logic: NULL count must PASS."""
+    return is_vip | count.isNull() | (count >= 100)
+
+
+# ----------------------------------------------------------- P9/P10: images
+
+
+def image_urls(posts: DataFrame, base_url: str) -> DataFrame:
+    """P9 (crawler.py:521-557): DOM-ordered img srcs, drop data:/svg decoys,
+    absolutize, ordered dedup; W1 index enumeration (crawler.py:573-582).
+    Input: rows with (post_id, page, pos_in_page, parsed). Output adds
+    (img_url, img_idx 1-based)."""
+    im = posts.select(
+        "post_id",
+        "page",
+        "pos_in_page",
+        F.posexplode(F.col("parsed.img_srcs")).alias("pos", "src"),
+    )
+    im = im.filter(
+        ~F.col("src").startswith("data:") & ~F.col("src").endswith(".svg")
+    ).withColumn("img_url", absolutize(F.col("src"), base_url))
+    im = first_occurrence(im, "img_url", ["pos"]).drop("src")
+    # NB: partitionBy includes post_id so dedup is per post
+    w = Window.partitionBy("post_id").orderBy("pos")
+    return im.withColumn("img_idx", F.row_number().over(w)).drop("pos")
+
+
+def image_urls_per_post(posts: DataFrame, base_url: str) -> DataFrame:
+    """Like image_urls but dedup scoped per post (reference semantics —
+    the per-post ordered set, crawler.py:521 'Use list to preserve order')."""
+    im = posts.select(
+        "post_id",
+        "page",
+        "pos_in_page",
+        F.posexplode(F.col("parsed.img_srcs")).alias("pos", "src"),
+    )
+    im = im.filter(
+        ~F.col("src").startswith("data:") & ~F.col("src").endswith(".svg")
+    ).withColumn("img_url", absolutize(F.col("src"), base_url))
+    w = Window.partitionBy("post_id", "img_url").orderBy("pos")
+    im = (
+        im.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    w2 = Window.partitionBy("post_id").orderBy("pos")
+    return im.withColumn("img_idx", F.row_number().over(w2)).drop("pos", "src")
+
+
+def infer_ext(url: Column) -> Column:
+    """P10 (crawler.py:576-580): suffix if in the image set, else jpg."""
+    last = F.element_at(F.split(url, "/"), -1)
+    noq = F.substring_index(last, "?", 1)
+    ext = F.lower(F.regexp_extract(noq, r"\.([A-Za-z0-9]+)$", 1))
+    return F.when(ext.isin("png", "jpeg", "jpg", "gif", "webp"), ext).otherwise(
+        F.lit("jpg")
+    )
+
+
+# ------------------------------------------------- P11-P19: download detect
+
+CERT_PATTERNS = ["원격평생교육원", "certificate", "인증서", "증명서", "수료증"]
+DOC_EXTS = ["pdf", "pptx", "ppt", "docx", "doc", "hwp", "xlsx", "xls"]
+EXCLUDED_EXTS = ["jpg", "jpeg", "png", "gif", "svg"]
+DOWNLOAD_KEYWORDS = ["다운로드", "download", "첨부파일"]
+FILE_REF_PATTERN = r"([가-힣\w\-\[\]\(\)]+\.(?:pdf|pptx?|docx?|hwp|xlsx?|xls))"
+
+
+def normalize_format(ext: Column) -> Column:
+    """P18 (download_detector.py:64-70): ppt->pptx, doc->docx, xls->xlsx."""
+    return (
+        F.when(ext == "ppt", "pptx")
+        .when(ext == "doc", "docx")
+        .when(ext == "xls", "xlsx")
+        .otherwise(ext)
+    )
+
+
+def _anchor_ext(href: Column) -> Column:
+    last = F.substring_index(F.element_at(F.split(href, "/"), -1), "?", 1)
+    return F.when(
+        last.contains("."), F.lower(F.element_at(F.split(last, r"\."), -1))
+    ).otherwise(F.lit(""))
+
+
+def detect_downloads(posts: DataFrame) -> DataFrame:
+    """P11-P19 + J3 + A3/A4 (download_detector.py:64-267, 439-457;
+    models.py:228-255): per post -> (has_download, file_formats ordered
+    distinct, file_sources ordered distinct, _download_summary).
+
+    Input: (post_id, parsed) rows. Anchor strategy + content file-reference
+    scan, certificate filter, excluded image types, format normalization.
+    """
+    an = posts.select(
+        "post_id",
+        F.col("parsed.content").alias("content"),
+        F.posexplode_outer(F.col("parsed.content_anchors")).alias("pos", "anchor"),
+    ).select(
+        "post_id",
+        "content",
+        "pos",
+        F.col("anchor.href").alias("href"),
+        F.col("anchor.text").alias("text"),
+    )
+    blob = F.lower(F.concat_ws(" ", F.col("href"), F.col("text")))
+    is_cert = F.lit(False)
+    for p in CERT_PATTERNS:
+        is_cert = is_cert | blob.contains(p.lower())
+    ext = _anchor_ext(F.col("href"))
+    is_excluded = ext.isin(EXCLUDED_EXTS)
+    is_doc = ext.isin(DOC_EXTS)
+    has_kw = F.lit(False)
+    for k in DOWNLOAD_KEYWORDS:
+        has_kw = has_kw | F.lower(F.col("text")).contains(k) | F.lower(
+            F.col("href")
+        ).contains(k)
+    an = an.withColumn(
+        "a_detected",
+        F.col("href").isNotNull() & ~is_cert & ~is_excluded & (is_doc | has_kw),
+    ).withColumn(
+        "a_format",
+        F.when(
+            F.col("href").isNotNull() & ~is_cert & ~is_excluded & is_doc,
+            normalize_format(ext),
+        ),
+    )
+    # per-post ordered aggregation — collect in anchor DOM order
+    agg = an.groupBy("post_id").agg(
+        F.max(F.coalesce(F.col("a_detected"), F.lit(False))).alias("anchor_has"),
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("a_format").isNotNull(),
+                                F.struct("pos", F.col("a_format").alias("v")),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                lambda v: v.isNotNull(),
+            )
+        ).alias("anchor_formats"),
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("a_detected"),
+                                F.struct("pos", F.col("href").alias("v")),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                lambda v: v.isNotNull(),
+            )
+        ).alias("file_sources"),
+        F.first("content", ignorenulls=False).alias("content"),
+    )
+    # P12 content file-reference scan (download_detector.py:218-256)
+    refs = F.regexp_extract_all(
+        F.coalesce(F.col("content"), F.lit("")), F.lit(FILE_REF_PATTERN), 1
+    )
+    ref_formats = F.array_distinct(
+        F.transform(
+            refs,
+            lambda fn: normalize_format(
+                F.lower(F.element_at(F.split(fn, r"\."), -1))
+            ),
+        )
+    )
+    out = agg.withColumn("ref_formats", ref_formats)
+    out = out.withColumn(
+        "has_download", F.col("anchor_has") | (F.size("ref_formats") > 0)
+    ).withColumn(
+        "file_formats",
+        F.array_distinct(F.concat(F.col("anchor_formats"), F.col("ref_formats"))),
+    )
+    return out.select(
+        "post_id",
+        "has_download",
+        "file_formats",
+        "file_sources",
+        download_summary(
+            F.col("has_download"), F.col("file_formats"), F.size("file_sources")
+        ).alias("_download_summary"),
+    )
+
+
+def download_summary(has: Column, formats: Column, n_links: Column) -> Column:
+    """A3 (models.py:228-255): five-case summary text, exact strings."""
+    fstr = F.array_join(formats, ", ")
+    return (
+        F.when(
+            has & (F.size(formats) > 0) & (n_links > 0),
+            F.concat(
+                F.lit("[다운로드 파일: "),
+                fstr,
+                F.lit(", "),
+                n_links.cast("string"),
+                F.lit("개 파일] "),
+            ),
+        )
+        .when(
+            has & (F.size(formats) > 0),
+            F.concat(F.lit("[다운로드 파일: "), fstr, F.lit("] ")),
+        )
+        .when(
+            has & (n_links > 0),
+            F.concat(
+                F.lit("[다운로드 가능: "), n_links.cast("string"), F.lit("개 파일] ")
+            ),
+        )
+        .when(has, F.lit("[다운로드 감지됨] "))
+        .otherwise(F.lit("[다운로드 없음] "))
+    )
+
+
+# --------------------------------------------------------------- P7: body
+
+
+def content_fallback(body_text: Column) -> Column:
+    """P7 (crawler.py:375-394): drop short/UI lines, start keeping once a
+    line exceeds 30 chars — a stateful scan expressed with the `aggregate`
+    higher-order function (no UDF)."""
+    ui = ["로그인", "회원가입", "메뉴", "검색", "홈", "마이페이지"]
+    lines = F.filter(
+        F.transform(F.split(body_text, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) >= 5,
+    )
+    lines = F.filter(lines, lambda x: ~x.isin(ui))
+    # stateful: emit lines only after the first line >30 chars
+    acc0 = F.struct(
+        F.lit(False).alias("started"), F.array().cast("array<string>").alias("kept")
+    )
+    agg = F.aggregate(
+        lines,
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["started"] | (F.length(x) > 30)).alias("started"),
+            F.when(
+                acc["started"] | (F.length(x) > 30),
+                F.concat(acc["kept"], F.array(x)),
+            )
+            .otherwise(acc["kept"])
+            .alias("kept"),
+        ),
+    )
+    return F.array_join(agg["kept"], "\n")
