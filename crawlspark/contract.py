@@ -1,0 +1,752 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry maps one operator family from SURVEY.md §2 (or a training-data
+pipeline op from the graft brief) onto the driver-provided TPC-H-ish tables
+so DuckDB can verify it (row-count + schema + order-insensitive value hash).
+
+Conventions for hash-stable cross-engine comparison:
+- every computed column is aliased IDENTICALLY in Spark and SQL
+- floats rounded (ROUND 4) on both sides; aggregation-order differences
+  stay below the rounding grain
+- arrays normalized to sorted + joined strings (Spark array_distinct keeps
+  first occurrence, DuckDB list_distinct does not — so compare sorted)
+- timestamps formatted to strings explicitly on both sides
+- cross-engine hashing uses md5 hex STRINGS compared lexicographically
+  (DuckDB has no hex->int64), which is a valid min-wise scheme
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# §2.2 projections / filters
+# =====================================================================
+
+
+@register(
+    "p1_first_occurrence_dedup",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+)
+def p1_first_occurrence_dedup(spark, sf_dir):
+    """W3/P1 first-occurrence-wins dedup (crawler.py:169-181): first order
+    per customer by structural order, never by arrival."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+        )
+    )
+
+
+@register(
+    "p4_skip_filter_3vl",
+    """
+    SELECT o_orderkey, extracted_count
+    FROM (
+      SELECT o_orderkey,
+             CAST(nullif(regexp_extract(o_orderpriority, '([0-9]+)', 1), '') AS INT)
+               AS extracted_count,
+             o_orderstatus = 'P' AS is_vip
+      FROM orders)
+    WHERE is_vip OR extracted_count IS NULL OR extracted_count >= 3
+    """,
+)
+def p4_skip_filter_3vl(spark, sf_dir):
+    """P3+P4 flagship skip filter (crawler.py:254-274): regex-extracted
+    nullable count + three-valued-logic keep predicate (NULL must PASS)."""
+    o = _t(spark, sf_dir, "orders")
+    cnt = F.nullif(
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1), F.lit("")
+    ).cast("int")
+    is_vip = F.col("o_orderstatus") == "P"
+    return (
+        o.select("o_orderkey", cnt.alias("extracted_count"), is_vip.alias("is_vip"))
+        .filter(F.col("is_vip") | F.col("extracted_count").isNull() | (F.col("extracted_count") >= 3))
+        .select("o_orderkey", "extracted_count")
+    )
+
+
+@register(
+    "p10_ext_infer",
+    """
+    SELECT url,
+           CASE WHEN lower(regexp_extract(
+                       string_split(string_split(url, '/')[-1], '?')[1],
+                       '\\.([A-Za-z0-9]+)$', 1))
+                     IN ('png','jpeg','jpg','gif','webp')
+                THEN lower(regexp_extract(
+                       string_split(string_split(url, '/')[-1], '?')[1],
+                       '\\.([A-Za-z0-9]+)$', 1))
+                ELSE 'jpg' END AS ext
+    FROM (
+      SELECT concat('https://cdn.example.com/p/', p_partkey, '.',
+                    CASE p_partkey % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                         WHEN 2 THEN 'svg' WHEN 3 THEN 'webp' WHEN 4 THEN 'gif'
+                         WHEN 5 THEN 'JPG' ELSE 'bin' END,
+                    CASE WHEN p_partkey % 3 = 0 THEN '?v=2' ELSE '' END) AS url
+      FROM part)
+    """,
+)
+def p10_ext_infer(spark, sf_dir):
+    """P10 extension inference (crawler.py:576-580) over synthesized URLs."""
+    from crawlspark.ops import infer_ext
+
+    p = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://cdn.example.com/p/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(
+                F.lit("png"), F.lit("jpeg"), F.lit("svg"), F.lit("webp"),
+                F.lit("gif"), F.lit("JPG"), F.lit("bin"),
+            ),
+            (F.col("p_partkey") % 7 + 1).cast("int"),
+        ),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("?v=2")).otherwise(F.lit("")),
+    )
+    return p.select(url.alias("url")).select("url", infer_ext(F.col("url")).alias("ext"))
+
+
+@register(
+    "p12_file_reference_scan",
+    """
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(text, '([a-z]+)\\s(scan|merge|join)', 1))), ','), '')
+             AS refs,
+           len(regexp_extract_all(text, '([a-z]+)\\s(scan|merge|join)', 1))
+             AS n_refs
+    FROM documents
+    """,
+)
+def p12_file_reference_scan(spark, sf_dir):
+    """P12 content reference scan (download_detector.py:218-256):
+    regexp_extract_all + distinct over document text."""
+    d = _t(spark, sf_dir, "documents")
+    refs = F.regexp_extract_all("text", F.lit(r"([a-z]+)\s(scan|merge|join)"), 1)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(refs)), ",").alias("refs"),
+        F.size(refs).alias("n_refs"),
+    )
+
+
+@register(
+    "p18_format_normalize",
+    """
+    SELECT ext,
+           CASE ext WHEN 'ppt' THEN 'pptx' WHEN 'doc' THEN 'docx'
+                    WHEN 'xls' THEN 'xlsx' ELSE ext END AS norm,
+           count(*) AS n
+    FROM (
+      SELECT CASE p_partkey % 6 WHEN 0 THEN 'ppt' WHEN 1 THEN 'pptx'
+                  WHEN 2 THEN 'doc' WHEN 3 THEN 'xls' WHEN 4 THEN 'hwp'
+                  ELSE 'pdf' END AS ext
+      FROM part)
+    GROUP BY ext
+    """,
+)
+def p18_format_normalize(spark, sf_dir):
+    """P18 format normalization (download_detector.py:64-70)."""
+    from crawlspark.ops import normalize_format
+
+    p = _t(spark, sf_dir, "part")
+    ext = F.element_at(
+        F.array(
+            F.lit("ppt"), F.lit("pptx"), F.lit("doc"), F.lit("xls"),
+            F.lit("hwp"), F.lit("pdf"),
+        ),
+        (F.col("p_partkey") % 6 + 1).cast("int"),
+    )
+    return (
+        p.select(ext.alias("ext"))
+        .groupBy("ext")
+        .agg(F.count("*").alias("n"))
+        .select("ext", normalize_format(F.col("ext")).alias("norm"), "n")
+    )
+
+
+@register(
+    "p22_url_canonicalize",
+    """
+    SELECT url,
+           concat('https://', host, path,
+                  CASE WHEN q = '' THEN '' ELSE concat('?', q) END) AS canon
+    FROM (
+      SELECT url,
+             lower(string_split(string_split(string_split(url, '://')[2], '/')[1], '?')[1]) AS host,
+             concat('/', string_split(string_split(string_split(url, '#')[1], '?')[1], '/')[-1]) AS path,
+             CASE WHEN contains(string_split(url, '#')[1], '?')
+                  THEN array_to_string(list_sort(string_split(
+                         string_split(string_split(url, '#')[1], '?')[2], '&')), '&')
+                  ELSE '' END AS q
+      FROM (
+        SELECT concat('https://CDN.Example.com/', c_custkey,
+                      '?b=', c_custkey % 5, '&a=', c_nationkey, '#frag') AS url
+        FROM customer))
+    """,
+)
+def p22_url_canonicalize(spark, sf_dir):
+    """P22 URL canonicalization (engine addition over crawler.py:231-233):
+    lowercase host, strip fragment, sort query params."""
+    from crawlspark.canonical import canonicalize
+
+    c = _t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://CDN.Example.com/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?b="),
+        (F.col("c_custkey") % 5).cast("string"),
+        F.lit("&a="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("#frag"),
+    )
+    return c.select(url.alias("url")).select(
+        "url", canonicalize(F.col("url")).alias("canon")
+    )
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+
+@register(
+    "j1_anti_join_dedup",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j1_anti_join_dedup(spark, sf_dir):
+    """J1 new-vs-existing anti-join (storage.py:44-53): customers with no
+    orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j2_seen_membership",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F')
+    """,
+)
+def j2_seen_membership(spark, sf_dir):
+    """J2 membership semi-join (crawler.py:169-179 seen-set analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey")
+
+
+@register(
+    "j3_ordered_link_merge",
+    """
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY first_ts, event_type), ',')
+             AS merged_types
+    FROM (
+      SELECT user_id, event_type, min(ts) AS first_ts
+      FROM events GROUP BY user_id, event_type)
+    GROUP BY user_id
+    """,
+)
+def j3_ordered_link_merge(spark, sf_dir):
+    """J3/A4 union-dedup keeping first occurrence by structural order
+    (storage.py:182-185, 220-222): per user, event types ordered by first
+    appearance."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
+    return firsts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("first_ts", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("merged_types")
+    )
+
+
+# =====================================================================
+# §2.4 aggregations
+# =====================================================================
+
+
+@register(
+    "a1_run_statistics",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS orders_total,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
+           sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def a1_run_statistics(spark, sf_dir):
+    """A1 counter aggregation (crawler.py:652-658): conditional counts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("orders_total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("big"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "a2_merge_records_by_id",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(max(value), 4) AS max_value,
+           arg_max(event_type, ts) AS last_type,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS all_types,
+           max(CASE WHEN event_type = 'purchase' THEN TRUE ELSE FALSE END)
+             AS has_purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def a2_merge_records_by_id(spark, sf_dir):
+    """A2 merge-by-id (storage.py:121-196): latched booleans, last-wins
+    fields, set-union of formats."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.expr("max_by(event_type, ts)").alias("last_type"),
+        F.array_join(F.array_sort(F.array_distinct(F.collect_list("event_type"))), ",")
+            .alias("all_types"),
+        F.max(F.when(F.col("event_type") == "purchase", True).otherwise(False))
+            .alias("has_purchase"),
+    )
+
+
+@register(
+    "a3_download_summary",
+    """
+    SELECT o_orderkey,
+           CASE WHEN has AND n_fmt > 0 AND n_links > 0
+                THEN concat('[fmt: ', fmts, ', ', n_links, ' files] ')
+                WHEN has AND n_fmt > 0 THEN concat('[fmt: ', fmts, '] ')
+                WHEN has AND n_links > 0 THEN concat('[avail: ', n_links, '] ')
+                WHEN has THEN '[detected] '
+                ELSE '[none] ' END AS summary
+    FROM (
+      SELECT o_orderkey, o_orderstatus <> 'O' AS has,
+             CAST(o_orderkey % 3 AS INT) AS n_fmt,
+             CAST(o_orderkey % 2 AS INT) AS n_links,
+             CASE o_orderkey % 3 WHEN 1 THEN 'pdf' WHEN 2 THEN 'pdf, pptx'
+                  ELSE '' END AS fmts
+      FROM orders)
+    """,
+)
+def a3_download_summary(spark, sf_dir):
+    """A3 multi-case summary derivation (models.py:228-255) — same branch
+    structure exercised over synthesized flags."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_orderstatus") != "O").alias("has"),
+        (F.col("o_orderkey") % 3).cast("int").alias("n_fmt"),
+        (F.col("o_orderkey") % 2).cast("int").alias("n_links"),
+        F.element_at(
+            F.array(F.lit(""), F.lit("pdf"), F.lit("pdf, pptx")),
+            (F.col("o_orderkey") % 3 + 1).cast("int"),
+        ).alias("fmts"),
+    )
+    summary = (
+        F.when(
+            F.col("has") & (F.col("n_fmt") > 0) & (F.col("n_links") > 0),
+            F.concat(
+                F.lit("[fmt: "), F.col("fmts"), F.lit(", "),
+                F.col("n_links").cast("string"), F.lit(" files] "),
+            ),
+        )
+        .when(
+            F.col("has") & (F.col("n_fmt") > 0),
+            F.concat(F.lit("[fmt: "), F.col("fmts"), F.lit("] ")),
+        )
+        .when(
+            F.col("has") & (F.col("n_links") > 0),
+            F.concat(F.lit("[avail: "), F.col("n_links").cast("string"), F.lit("] ")),
+        )
+        .when(F.col("has"), F.lit("[detected] "))
+        .otherwise(F.lit("[none] "))
+    )
+    return base.select("o_orderkey", summary.alias("summary"))
+
+
+# =====================================================================
+# §2.5 windows / ordering / top-k
+# =====================================================================
+
+
+@register(
+    "w1_image_index_enumeration",
+    """
+    SELECT l_orderkey, l_partkey,
+           concat('image_', row_number() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey)) AS image_name
+    FROM lineitem
+    """,
+)
+def w1_image_index_enumeration(spark, sf_dir):
+    """W1 index enumeration (crawler.py:573-582): image_{i} per parent in
+    document order."""
+    li = _t(spark, sf_dir, "lineitem")
+    # deterministic tiebreak: l_linenumber alone has duplicates at sf>=0.01
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.concat(F.lit("image_"), F.row_number().over(w).cast("string")).alias(
+            "image_name"
+        ),
+    )
+
+
+@register(
+    "w2_global_crawl_order",
+    """
+    SELECT seq, o_orderkey FROM (
+      SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq,
+             o_orderkey
+      FROM orders)
+    WHERE seq <= 100
+    """,
+)
+def w2_global_crawl_order(spark, sf_dir):
+    """W2 deterministic global priority order (crawler.py:650-726): total
+    order by structural key, first 100."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(F.row_number().over(w).alias("seq"), "o_orderkey")
+        .filter("seq <= 100")
+    )
+
+
+@register(
+    "w5_topk_per_group",
+    """
+    SELECT l_orderkey, l_partkey, rk FROM (
+      SELECT l_orderkey, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+      FROM lineitem)
+    WHERE rk <= 3
+    """,
+)
+def w5_topk_per_group(spark, sf_dir):
+    """W5 limit analog: top-3 most expensive lines per order with
+    deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_linenumber"
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", F.row_number().over(w).alias("rk"))
+        .filter("rk <= 3")
+    )
+
+
+# =====================================================================
+# §2.6 set ops
+# =====================================================================
+
+
+@register(
+    "so1_union_dedup",
+    """
+    SELECT custkey, count(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000)
+    GROUP BY custkey
+    """,
+)
+def so1_union_dedup(spark, sf_dir):
+    """SO1 union of detector results (download_detector.py:439-457)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter("o_totalprice > 150000").select(F.col("o_custkey").alias("custkey"))
+    return a.unionByName(b).groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@register(
+    "so3_frontier_minus_seen",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def so3_frontier_minus_seen(spark, sf_dir):
+    """SO3 EXCEPT on key (crawler.py:176-181 frontier minus seen)."""
+    o = _t(spark, sf_dir, "orders")
+    all_k = o.select(F.col("o_custkey").alias("custkey"))
+    seen = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
+    return all_k.subtract(seen)  # EXCEPT (distinct) semantics
+
+
+# =====================================================================
+# §2.8 streaming-ish semantics over the events table
+# =====================================================================
+
+
+@register(
+    "st1_sessionize",
+    """
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def st1_sessionize(spark, sf_dir):
+    """Stateful sessionization (30-min gap) via windows — the batch analog
+    of the engine's wave/session semantics (SURVEY §2.8)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # microsecond precision — second-granularity diff disagrees with the
+    # oracle's exact INTERVAL comparison on sub-second gaps
+    gap = F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+    e = e.withColumn("__prev_ts", prev)
+    is_new = F.when(
+        F.col("__prev_ts").isNull() | (gap > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+    sess = sess.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@register(
+    "st2_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win,
+           event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st2_tumbling_window(spark, sf_dir):
+    """Tumbling-window aggregation (Structured Streaming window analog)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("win"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+
+
+# =====================================================================
+# headline analytical queries (bench workload; classic shapes)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy group-agg; the filter and the two group
+    columns must reach the parquet scan (PushedFilters / pruned ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> broadcast join chain ->
+    agg -> global top-k (broadcast of customer/orders side is the point)."""
+    c = _t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = n_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star-join chain with two small broadcast dims and a
+    co-located fact join; AQE picks broadcast for every dim."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "st3_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def st3_json_extract(spark, sf_dir):
+    """P16 network-log JSON pipeline (download_detector.py:333-349):
+    from_json scalar extraction + aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )

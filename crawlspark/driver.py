@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from crawlspark import ops, schema
 from crawlspark.catalog import Catalog
 from crawlspark.imageops import decode_image_udf
-from crawlspark.parse import coalesced_title, parse_html
+from crawlspark.parse import coalesced_title, parse_html, parse_post_html
 from crawlspark.politeness import RATE_LIMIT_PERIOD, RATE_LIMIT_REQUESTS
 from crawlspark.seen import BloomSeen
 
@@ -191,7 +191,7 @@ def _run_wave(
             ),
             "url",
         )
-        .withColumn("parsed", parse_html(F.col("post_body")))
+        .withColumn("parsed", parse_post_html(F.col("post_body")))
         .withColumn("post_id", F.element_at(F.split("url", "/"), -1))
         .select("url", "post_id", "page", "pos_in_page", "link_pos", "parsed")
     )

@@ -287,6 +287,116 @@ def download_summary(has: Column, formats: Column, n_links: Column) -> Column:
     )
 
 
+# ------------------------------------------- per-row array variants (scale)
+#
+# The per-POST semantics (ordered image dedup, download detection) are
+# functions of one row's arrays — expressing them with higher-order array
+# functions instead of explode+window keeps the whole fetch->parse->extract
+# ->detect path ONE narrow stage: no shuffle, no window, no cache needed.
+# The explode variants above remain for stages that genuinely need one row
+# per image (e.g. joining payload bytes).
+
+
+def ordered_distinct(arr: Column) -> Column:
+    """First-occurrence-preserving distinct via aggregate() (W3 as an array
+    op). Per-post arrays are tiny, so the O(n^2) contains-check is free."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+
+
+def image_urls_array(img_srcs: Column, base_url: str) -> Column:
+    """P9 as a pure array expression: drop data:/svg decoys, absolutize,
+    ordered dedup — returns array<string> in DOM order."""
+    kept = F.filter(
+        img_srcs, lambda s: ~s.startswith("data:") & ~s.endswith(".svg")
+    )
+    absu = F.transform(kept, lambda s: absolutize(s, base_url))
+    return ordered_distinct(absu)
+
+
+def detect_downloads_array(content: Column, content_anchors: Column) -> Column:
+    """P11-P19 + A3/A4 as pure array expressions: returns
+    struct(has_download, file_formats, file_sources, _download_summary).
+    Same semantics as detect_downloads but zero shuffles."""
+    anchors = F.coalesce(
+        content_anchors,
+        F.array().cast("array<struct<href:string,text:string>>"),
+    )
+
+    def blob(a):
+        return F.lower(F.concat_ws(" ", a["href"], a["text"]))
+
+    def is_cert(a):
+        c = F.lit(False)
+        for p in CERT_PATTERNS:
+            c = c | blob(a).contains(p.lower())
+        return c
+
+    def ext_of(a):
+        last = F.substring_index(
+            F.element_at(F.split(a["href"], "/"), -1), "?", 1
+        )
+        return F.when(
+            last.contains("."), F.lower(F.element_at(F.split(last, r"\."), -1))
+        ).otherwise(F.lit(""))
+
+    def has_kw(a):
+        k = F.lit(False)
+        for kw in DOWNLOAD_KEYWORDS:
+            k = k | F.lower(a["text"]).contains(kw) | F.lower(a["href"]).contains(kw)
+        return k
+
+    excluded = F.array(*[F.lit(e) for e in EXCLUDED_EXTS])
+    docs = F.array(*[F.lit(e) for e in DOC_EXTS])
+
+    def detected(a):
+        return (
+            a["href"].isNotNull()
+            & ~is_cert(a)
+            & ~F.array_contains(excluded, ext_of(a))
+            & (F.array_contains(docs, ext_of(a)) | has_kw(a))
+        )
+
+    def is_doc(a):
+        return (
+            a["href"].isNotNull()
+            & ~is_cert(a)
+            & ~F.array_contains(excluded, ext_of(a))
+            & F.array_contains(docs, ext_of(a))
+        )
+
+    anchor_formats = ordered_distinct(
+        F.transform(F.filter(anchors, is_doc), lambda a: normalize_format(ext_of(a)))
+    )
+    file_sources = ordered_distinct(
+        F.transform(F.filter(anchors, detected), lambda a: a["href"])
+    )
+    refs = F.regexp_extract_all(
+        F.coalesce(content, F.lit("")), F.lit(FILE_REF_PATTERN), 1
+    )
+    ref_formats = F.array_distinct(
+        F.transform(
+            refs, lambda fn: normalize_format(F.lower(F.element_at(F.split(fn, r"\."), -1)))
+        )
+    )
+    anchor_has = F.exists(anchors, detected)
+    has = anchor_has | (F.size(ref_formats) > 0)
+    formats = F.array_distinct(F.concat(anchor_formats, ref_formats))
+    return F.struct(
+        has.alias("has_download"),
+        formats.alias("file_formats"),
+        file_sources.alias("file_sources"),
+        download_summary(has, formats, F.size(file_sources)).alias(
+            "_download_summary"
+        ),
+    )
+
+
 # --------------------------------------------------------------- P7: body
 
 

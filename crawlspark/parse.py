@@ -22,7 +22,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from crawlspark.schema import PARSED_PAGE
+from crawlspark.schema import PARSED_PAGE, PARSED_POST
 
 _TITLE_RE = r'<h1 class="post-title">(.*?)</h1>'
 _PAGE_TITLE_RE = r"<title>(.*?)</title>"
@@ -35,47 +35,71 @@ _ANCHOR_RE = re.compile(r'<a href="([^"]*)">([^<]*)</a>')
 _TAG_RE = re.compile(r"<img [^>]*>|<a [^>]*>[^<]*</a>")
 
 
-def _parse_batch(html: pd.Series) -> pd.DataFrame:
+def _anchor_dicts(found: list) -> list:
+    return [{"href": a, "text": t} for a, t in found]
+
+
+def _parse_post_batch(html: pd.Series) -> pd.DataFrame:
+    """Slim per-post parse: everything vectorized pandas .str ops except the
+    findall list materialization."""
     h = html.fillna("")
-    title = h.str.extract(_TITLE_RE, flags=re.S, expand=False).str.strip()
-    page_title = h.str.extract(_PAGE_TITLE_RE, flags=re.S, expand=False)
-    sidebar = h.str.extract(_SIDEBAR_RE, flags=re.S, expand=False)
-    author = h.str.extract(_AUTHOR_RE, expand=False).str.strip()
-    date = h.str.extract(_DATE_RE, expand=False)
     content_html = h.str.extract(_CONTENT_RE, expand=False).fillna("")
-
-    def _content_text(c: str) -> str:
-        text = _TAG_RE.sub("", c).replace("<br>", "\n")
-        return "\n".join(ln.strip() for ln in text.split("\n") if ln.strip())
-
-    content = content_html.map(_content_text)
-    img_srcs = content_html.map(lambda c: _IMG_RE.findall(c))
-    anchors = h.map(
-        lambda s: [{"href": a, "text": t} for a, t in _ANCHOR_RE.findall(s)]
+    # tag-strip + <br> -> newline + per-line strip/drop-empty, vectorized:
+    # collapse whitespace around newlines, squeeze repeats, trim ends
+    content = (
+        content_html.str.replace(_TAG_RE, "", regex=True)
+        .str.replace("<br>", "\n", regex=False)
+        .str.replace(r"[ \t]*\n[ \t]*", "\n", regex=True)
+        .str.replace(r"\n+", "\n", regex=True)
+        .str.strip()
     )
-    content_anchors = content_html.map(
-        lambda c: [{"href": a, "text": t} for a, t in _ANCHOR_RE.findall(c)]
-    )
-    body_text = h.map(lambda s: re.sub(r"<[^>]+>", "\n", s))
     return pd.DataFrame(
         {
-            "title": title,
-            "page_title": page_title,
-            "sidebar_text": sidebar,
-            "author": author,
-            "date": date,
+            "title": h.str.extract(_TITLE_RE, flags=re.S, expand=False).str.strip(),
+            "page_title": h.str.extract(_PAGE_TITLE_RE, flags=re.S, expand=False),
+            "sidebar_text": h.str.extract(_SIDEBAR_RE, flags=re.S, expand=False),
+            "author": h.str.extract(_AUTHOR_RE, expand=False).str.strip(),
+            "date": h.str.extract(_DATE_RE, expand=False),
             "content": content,
-            "img_srcs": img_srcs,
-            "anchors": anchors,
-            "content_anchors": content_anchors,
-            "body_text": body_text,
+            "img_srcs": content_html.str.findall(_IMG_RE),
+            "content_anchors": content_html.str.findall(_ANCHOR_RE).map(
+                _anchor_dicts
+            ),
         }
     )
 
 
+def _parse_batch(html: pd.Series) -> pd.DataFrame:
+    h = html.fillna("")
+    out = _parse_post_batch(html)
+    out["anchors"] = h.str.findall(_ANCHOR_RE).map(_anchor_dicts)
+    out["body_text"] = h.str.replace(r"<[^>]+>", "\n", regex=True)
+    return out[
+        [
+            "title", "page_title", "sidebar_text", "author", "date", "content",
+            "img_srcs", "anchors", "content_anchors", "body_text",
+        ]
+    ]
+
+
 @F.pandas_udf(PARSED_PAGE)
-def parse_html(html: pd.Series) -> pd.DataFrame:
+def _parse_html_udf(html: pd.Series) -> pd.DataFrame:
     return _parse_batch(html)
+
+
+@F.pandas_udf(PARSED_POST)
+def _parse_post_udf(html: pd.Series) -> pd.DataFrame:
+    return _parse_post_batch(html)
+
+
+# CRITICAL: marked nondeterministic (they are in fact deterministic) to stop
+# CollapseProject from substituting the UDF call into every downstream
+# field reference — otherwise a pipeline touching N parsed fields runs the
+# parse N times (measured 9-50x slowdown at high parallelism). The only
+# optimization this forfeits is pushing filters below the parse, which is
+# never wanted: filters on parsed fields require the parse.
+parse_html = _parse_html_udf.asNondeterministic()
+parse_post_html = _parse_post_udf.asNondeterministic()
 
 
 def coalesced_title(parsed: Column) -> Column:

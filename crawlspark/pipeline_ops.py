@@ -1,0 +1,521 @@
+"""Training-data pipeline operators over documents/embeddings tables.
+
+The graft brief's first-class additions beyond the reference's operators:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force cosine top-k, LSH-bucketed ANN), text analysis
+(language-ID heuristic, quality scoring, token counting, fingerprinting),
+and multimodal binary-column plumbing. Every op is registered in the
+driver contract (crawlspark.contract.Q / SQL) with a DuckDB oracle.
+
+Cross-engine determinism notes:
+- hashes are md5 hex strings (both engines), min-compared lexicographically
+  — a valid min-wise scheme since both sides share the total order
+- float aggregates rounded to 4-6 decimals before comparison
+- arrays normalized (sorted + joined) since DuckDB list_distinct does not
+  preserve order
+
+Scale notes (100 TB framing):
+- exact dedup: one shuffle on the 128-bit content hash — the canonical
+  map-side-combine groupBy; no full-text shuffle (hash computed in scan
+  stage, text dropped before the exchange when only ids are needed)
+- MinHash LSH: shingle explode is map-side; signatures are a groupBy(doc)
+  with 2k tiny min() aggregates; band buckets shuffle only
+  (band_id, bucket_hash, doc_id) triples; candidate pairs come from a
+  self-join on bucket — the classic near-dup pipeline that avoids the
+  O(n^2) cross join entirely
+- ANN brute force broadcasts the (small) query set against the corpus —
+  no shuffle of the big side; LSH-bucketed variant prunes to same-bucket
+  pairs first
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawlspark.contract import SQL, Q, _t, register
+
+# ---------------------------------------------------------------- dedup
+
+MINHASH_SEEDS = 8
+LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS // LSH_BANDS = 2
+SHINGLE_K = 3
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT content_hash, min(doc_id) AS keeper, count(*) AS n_dups
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    GROUP BY content_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text); keeper = min doc_id.
+    At scale: hash in the scan stage, shuffle only (hash, doc_id)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
+        .filter("n_dups > 1")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           length(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_len
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowercased text."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace("text", r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(norm)).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def _shingles_spark(words_col):
+    """Word K-shingles via sequence+transform (no UDF)."""
+    n = F.size(words_col)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(words_col, i, SHINGLE_K), " ")
+    )
+
+
+_SHINGLE_SQL = f"""
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(words) - {SHINGLE_K - 1}, 0)),
+                            i -> array_to_string(words[i:i+{SHINGLE_K - 1}], ' ')) AS shingles
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents)
+"""
+
+_MINHASH_AGGS_SQL = ",\n".join(
+    f"           min(md5(concat('{s}:', sh))) AS sig{s}" for s in range(MINHASH_SEEDS)
+)
+
+_BAND_EXPRS_SQL = ",\n".join(
+    f"           md5(concat(sig{2 * b}, sig{2 * b + 1})) AS band{b}"
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    SELECT doc_id,
+{_MINHASH_AGGS_SQL}
+    FROM (
+      SELECT doc_id, unnest(shingles) AS sh FROM ({_SHINGLE_SQL}))
+    GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures: shingle -> k seeded md5-hex min-hashes per doc.
+    Map-side explode, one groupBy(doc_id) with k tiny min() aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", r"\s+")
+    sh = d.select(
+        "doc_id", F.explode(_shingles_spark(words)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"sig{s}")
+        for s in range(MINHASH_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id,
+{_MINHASH_AGGS_SQL}
+      FROM (SELECT doc_id, unnest(shingles) AS sh FROM ({_SHINGLE_SQL}))
+      GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id,
+{_BAND_EXPRS_SQL}
+      FROM sigs
+    ), expl AS (
+      SELECT doc_id, b.band_id,
+             CASE b.band_id {" ".join(f"WHEN {b} THEN band{b}" for b in range(LSH_BANDS))} END AS bucket
+      FROM buckets, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM expl a JOIN expl c
+      ON a.band_id = c.band_id AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs: band signatures -> bucket self-join.
+    Shuffles only (band_id, bucket, doc_id); never O(n^2)."""
+    sigs = dedup_minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(
+                f"band{b}"
+            )
+            for b in range(LSH_BANDS)
+        ],
+    )
+    expl = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
+            "band_id", "bucket"
+        ),
+    )
+    pairs = (
+        expl.alias("a")
+        .join(
+            expl.alias("c"),
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+_NIBBLE_TO_BITS_CASES = " ".join(
+    f"WHEN '{c}' THEN '{bin(int(c, 16))[2:].zfill(4)}'" for c in "0123456789abcdef"
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, b.i AS bit_i,
+             CASE substr(md5(tok), (b.i // 4) + 1, 1)
+                  {_NIBBLE_TO_BITS_CASES} END AS nib_bits
+      FROM tok, (SELECT unnest(generate_series(0, 63)) AS i) b
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN votes >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY bit_i) AS simhash_bits
+    FROM (
+      SELECT doc_id, bit_i,
+             sum(CASE WHEN substr(nib_bits, (bit_i % 4) + 1, 1) = '1'
+                      THEN 1 ELSE -1 END) AS votes
+      FROM bits GROUP BY doc_id, bit_i)
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 per doc over distinct whitespace tokens: per-bit +1/-1
+    votes from md5(token) bits, sign-aggregated into a 64-char bit string.
+
+    Spark side stays JVM-built-in: conv(hex,16,2) expands nibbles, explode
+    sequence(0,63) generates bit positions, one groupBy(doc_id, bit) sums
+    votes, one groupBy(doc_id) reassembles — no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit_i"),
+    )
+    nib = F.substring(
+        F.col("h"), (F.col("bit_i") / 4).cast("int") + 1, 1
+    )
+    nib_bits = F.lpad(F.conv(nib, 16, 2), 4, "0")
+    bit_val = F.substring(nib_bits, (F.col("bit_i") % 4).cast("int") + 1, 1)
+    votes = bits.select(
+        "doc_id", "bit_i", F.when(bit_val == "1", 1).otherwise(-1).alias("v")
+    ).groupBy("doc_id", "bit_i").agg(F.sum("v").alias("votes"))
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bit_i", "votes"))),
+                lambda s: F.when(s["votes"] >= 0, "1").otherwise("0"),
+            ),
+            "",
+        ).alias("simhash_bits")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(text, '\\s+')) AS sset
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sset, b.sset)) AS inter,
+             len(a.sset) + len(b.sset)
+               - len(list_intersect(a.sset, b.sset)) AS uni
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50
+    )
+    SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
+    FROM pairs WHERE uni > 0 AND round(inter * 1.0 / uni, 4) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-set (1-gram) Jaccard near-dup over blocked candidate pairs
+    (block = doc_id % 50 stands in for an LSH bucket to bound the pair
+    count; the real scale path chains dedup_minhash_lsh_pairs -> this
+    exact verifier). Unigram sets because the synthetic corpus shares
+    vocabulary but not 3-gram sequences."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", r"\s+")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(words).alias("sset"),
+        (F.col("doc_id") % 50).alias("blk"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("a.blk") == F.col("b.blk")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect("a.sset", "b.sset")).alias("inter"),
+        (
+            F.size("a.sset") + F.size("b.sset")
+            - F.size(F.array_intersect("a.sset", "b.sset"))
+        ).alias("uni"),
+    )
+    return pairs.filter("uni > 0").withColumn(
+        "jaccard", F.round(F.col("inter") / F.col("uni"), 4)
+    ).filter("jaccard >= 0.5").select("doc_a", "doc_b", "jaccard")
+
+
+# ------------------------------------------------------------- similarity
+
+ANN_QUERIES = 5
+ANN_TOPK = 5
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 6)
+                        DESC, c.vec_id) AS rk
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {ANN_QUERIES})
+    WHERE rk <= {ANN_TOPK}
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the small query set against the
+    corpus (no shuffle of the big side); dot products via zip_with +
+    aggregate (JVM, no UDF); rank on rounded similarity with id tiebreak
+    for cross-engine determinism."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    j = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(cos, 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        j.select("query_id", "neighbor_id", F.row_number().over(w).alias("rk"))
+        .filter(f"rk <= {ANN_TOPK}")
+    )
+
+
+def _planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes shared verbatim by both engines."""
+    return [
+        [1.0 if ((3 * p + 7 * i + p * i) % 2 == 0) else -1.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+_PLANES = _planes()
+_PLANES_SQL = ",\n".join(
+    f"           CASE WHEN list_dot_product(embedding, {pl}) >= 0 THEN '1' ELSE '0' END"
+    for pl in _PLANES
+)
+
+
+@register(
+    "ann_lsh_bucket",
+    f"""
+    SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
+    FROM (
+      SELECT vec_id, concat(
+{_PLANES_SQL}
+      ) AS bucket FROM embeddings)
+    GROUP BY bucket
+    """,
+)
+def ann_lsh_bucket(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (sign of dot with 8 fixed ±1 planes)
+    — the scale path for ANN: candidate search only within a bucket."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def dotlit(pl):
+        arr = F.array(*[F.lit(x) for x in pl])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), arr, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.concat(
+        *[F.when(dotlit(pl) >= 0, "1").otherwise("0") for pl in _PLANES]
+    )
+    return (
+        e.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_vec"))
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id, n_words,
+           round(avg_word_len, 4) AS avg_word_len,
+           round(stopword_ratio, 4) AS stopword_ratio,
+           (n_words >= 20 AND avg_word_len >= 3) AS passes
+    FROM (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_words,
+             length(replace(text, ' ', '')) * 1.0
+               / greatest(len(string_split_regex(text, '\\s+')), 1) AS avg_word_len,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> list_contains(['the','a','of','and','to'], w))) * 1.0
+               / greatest(len(string_split_regex(text, '\\s+')), 1)
+               AS stopword_ratio
+      FROM documents)
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: word count, avg word length, stopword ratio,
+    pass/fail gate — all JVM built-ins."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", r"\s+")
+    n = F.greatest(F.size(words), F.lit(1))
+    avg_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.round(avg_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        ((F.size(words) >= 20) & (avg_len >= 3)).alias("passes"),
+    )
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN the_n >= 2 THEN 'en' WHEN spark_n >= 3 THEN 'tech'
+                ELSE 'other' END AS predicted
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w = 'the'))
+               AS the_n,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w = 'spark'))
+               AS spark_n
+      FROM documents)
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Language-ID heuristic: marker-token frequencies -> class (the corpus
+    is synthetic word salad, so this exercises the plumbing: per-doc token
+    frequency scoring + argmax-style CASE)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", r"\s+")
+    the_n = F.size(F.filter(words, lambda w: w == "the"))
+    spark_n = F.size(F.filter(words, lambda w: w == "spark"))
+    pred = (
+        F.when(the_n >= 2, "en").when(spark_n >= 3, "tech").otherwise("other")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted"))
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: treat content as an opaque binary column,
+    compute byte length + sha256 — the metadata half of the image/audio
+    column pattern (decode itself is the pandas-UDF stage in
+    crawlspark.imageops, exercised by the crawl tests)."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(b).alias("n_bytes"),
+        F.sha2(b, 256).alias("content_sha"),
+    )

@@ -124,6 +124,33 @@ POST_RECORD = T.StructType(
     ]
 )
 
+# slim post-page parse output: no `anchors` (listing-only) and no
+# `body_text` (P7 fallback only) — both are page-sized and dominate Arrow
+# transfer if emitted for every post
+PARSED_POST = T.StructType(
+    [
+        T.StructField("title", T.StringType(), True),
+        T.StructField("page_title", T.StringType(), True),
+        T.StructField("sidebar_text", T.StringType(), True),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("date", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("img_srcs", T.ArrayType(T.StringType()), True),
+        T.StructField(
+            "content_anchors",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("href", T.StringType(), True),
+                        T.StructField("text", T.StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
 PARSED_PAGE = T.StructType(
     [
         T.StructField("title", T.StringType(), True),
