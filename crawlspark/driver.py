@@ -246,44 +246,36 @@ def _run_wave(
         images_out = images_out.withColumn("bytes", F.lit(None).cast("binary"))
     images_out = images_out.cache()
 
-    # ---- P5-P8 + P11-P19 + A2-A4: record assembly
-    detect = ops.detect_downloads(kept.select("post_id", "parsed"))
-    records = (
-        kept.select(
-            "url",
-            "post_id",
-            "page",
-            "pos_in_page",
-            coalesced_title(F.col("parsed")).alias("title"),
-            F.col("parsed.author").alias("author"),
-            F.col("parsed.date").alias("date"),
-            F.col("parsed.content").alias("content"),
-        )
-        .join(detect, "post_id", "left")
-        .select(
-            "url",
-            F.struct(
-                F.col("title"), F.col("author"), F.col("date")
-            ).alias("meta"),
-            F.col("content").alias("body"),
-            F.col("content").alias("parsed_content"),
-            F.coalesce("file_sources", F.array().cast("array<string>")).alias(
-                "file_sources"
-            ),
-            F.concat(F.lit("wave-"), F.col("page").cast("string")).alias(
-                "crawl_timestamp"
-            ),
-            "post_id",
-            F.coalesce("_download_summary", F.lit("[다운로드 없음] ")).alias(
-                "_download_summary"
-            ),
-            F.coalesce("has_download", F.lit(False)).alias("has_download"),
-            F.coalesce("file_formats", F.array().cast("array<string>")).alias(
-                "file_formats"
-            ),
-            "page",
-            "pos_in_page",
-        )
+    # ---- P5-P8 + P11-P19 + A2-A4: record assembly — detection is a per-row
+    # array expression (ops.detect_downloads_array), so this whole block is
+    # shuffle-free: no explode, no groupBy(post_id), no re-join
+    records = kept.select(
+        "url",
+        "post_id",
+        "page",
+        "pos_in_page",
+        coalesced_title(F.col("parsed")).alias("title"),
+        F.col("parsed.author").alias("author"),
+        F.col("parsed.date").alias("date"),
+        F.col("parsed.content").alias("content"),
+        ops.detect_downloads_array(
+            F.col("parsed.content"), F.col("parsed.content_anchors")
+        ).alias("det"),
+    ).select(
+        "url",
+        F.struct(F.col("title"), F.col("author"), F.col("date")).alias("meta"),
+        F.col("content").alias("body"),
+        F.col("content").alias("parsed_content"),
+        F.col("det.file_sources").alias("file_sources"),
+        F.concat(F.lit("wave-"), F.col("page").cast("string")).alias(
+            "crawl_timestamp"
+        ),
+        "post_id",
+        F.col("det._download_summary").alias("_download_summary"),
+        F.col("det.has_download").alias("has_download"),
+        F.col("det.file_formats").alias("file_formats"),
+        "page",
+        "pos_in_page",
     )
 
     # ---- stats (A1)

@@ -1,0 +1,81 @@
+"""Politeness schedule + bloom seen-filter properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlspark.oracle import TokenBucket
+from crawlspark.politeness import schedule_numpy
+from crawlspark.seen import BloomSeen
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=20.0, allow_nan=False), max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_schedule_matches_oracle_bucket(sleeps):
+    """schedule_numpy must equal the oracle's TokenBucket for any sleep
+    sequence (exact recurrence, not an approximation)."""
+    b = TokenBucket()
+    expected = []
+    for s in sleeps:
+        b.advance(s)
+        expected.append(b.request())
+    got = schedule_numpy(np.array(sleeps, dtype=np.float64))
+    assert np.allclose(got, np.array(expected))
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every added URL must test maybe-seen (bloom guarantees no false
+    negatives); unseen URLs overwhelmingly test new."""
+    urls = [(f"https://h{i % 7}.example.com/p/{i}",) for i in range(5000)]
+    df = spark.createDataFrame(urls, "url string")
+    bloom = BloomSeen(bits=1 << 18, k=4)
+    bloom.add_urls(df)
+    flagged = bloom.maybe_seen_col(spark, df)
+    assert flagged.filter(~F.col("__maybe_seen")).count() == 0
+
+    fresh = spark.createDataFrame(
+        [(f"https://new.example.com/q/{i}",) for i in range(5000)], "url string"
+    )
+    fp = bloom.maybe_seen_col(spark, fresh).filter(F.col("__maybe_seen")).count()
+    assert fp < 500  # < 10% false positives at this fill ratio
+
+
+def test_filter_new_exactness(spark):
+    """filter_new must return exactly the not-seen rows (bloom is a
+    prefilter; the anti-join is the authority)."""
+    seen = spark.createDataFrame(
+        [(f"https://s.example.com/{i}",) for i in range(0, 1000, 2)], "url string"
+    )
+    cand = spark.createDataFrame(
+        [(f"https://s.example.com/{i}",) for i in range(1000)], "url string"
+    )
+    bloom = BloomSeen(bits=1 << 16, k=4)
+    bloom.add_urls(seen)
+    got = {
+        r["url"] for r in bloom.filter_new(spark, cand, seen).collect()
+    }
+    expected = {f"https://s.example.com/{i}" for i in range(1, 1000, 2)}
+    assert got == expected
+
+
+def test_catalog_snapshot_and_merge(spark, tmp_path):
+    from crawlspark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    cat.commit(df1, "t")
+    assert cat.version("t") == 1
+    # merge: only new keys appended
+    df2 = spark.createDataFrame([(2, "dup"), (3, "c")], "k int, v string")
+    cat.merge_new(spark, df2, "t", key="k")
+    rows = {r["k"]: r["v"] for r in cat.read(spark, "t").collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    assert cat.version("t") == 2
+    assert [e["version"] for e in cat.log("t")] == [1, 2]
