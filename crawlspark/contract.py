@@ -350,7 +350,7 @@ def a1_run_statistics(spark, sf_dir):
     SELECT user_id,
            count(*) AS n_events,
            round(max(value), 4) AS max_value,
-           arg_max(event_type, ts) AS last_type,
+           first(event_type ORDER BY ts DESC, event_id DESC) AS last_type,
            array_to_string(list_sort(list_distinct(list(event_type))), ',')
              AS all_types,
            max(CASE WHEN event_type = 'purchase' THEN TRUE ELSE FALSE END)
@@ -360,12 +360,13 @@ def a1_run_statistics(spark, sf_dir):
 )
 def a2_merge_records_by_id(spark, sf_dir):
     """A2 merge-by-id (storage.py:121-196): latched booleans, last-wins
-    fields, set-union of formats."""
+    fields, set-union of formats. last_type breaks ts ties by event_id on
+    both sides (bare max_by on ts is nondeterministic under ties)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.max("value"), 4).alias("max_value"),
-        F.expr("max_by(event_type, ts)").alias("last_type"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("last_type"),
         F.array_join(F.array_sort(F.array_distinct(F.collect_list("event_type"))), ",")
             .alias("all_types"),
         F.max(F.when(F.col("event_type") == "purchase", True).otherwise(False))

@@ -24,11 +24,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawlspark import ops, schema
+from crawlspark.canonical import host_bucket, host_of, salt_for
 from crawlspark.catalog import Catalog
 from crawlspark.imageops import decode_image_udf
 from crawlspark.parse import coalesced_title, parse_html, parse_post_html
 from crawlspark.politeness import RATE_LIMIT_PERIOD, RATE_LIMIT_REQUESTS
+from crawlspark.robots import filter_allowed
 from crawlspark.seen import BloomSeen
+
+N_HOST_BUCKETS = 32  # frontier partitioning key space (sandbox scale)
+HOT_HOST_SALTS = 4  # skew fan-out for hot hosts
 
 WAIT_PAGE_LOAD = 3.0
 WAIT_POST_NAV = 3.0
@@ -83,6 +88,8 @@ def crawl(
     pages_per_wave: int = 0,
     run_id: str | None = None,
     image_keep_bytes: bool = True,
+    robots_df: DataFrame | None = None,
+    hot_hosts: list[str] | None = None,
 ) -> CrawlResult:
     """Crawl the synthetic site in `page_store`, committing state under
     `workdir`. pages_per_wave=0 → everything in one wave."""
@@ -126,7 +133,7 @@ def crawl(
             continue  # committed by a previous run; totals recomputed below
         stats, vsec = _run_wave(
             spark, cat, bloom, page_store, base_url, run_id, wave, page_band,
-            image_keep_bytes, bucket,
+            image_keep_bytes, bucket, robots_df, hot_hosts or [],
         )
         for k in totals:
             totals[k] += stats[k]
@@ -155,6 +162,8 @@ def _run_wave(
     page_band: list[int],
     image_keep_bytes: bool,
     bucket: _BucketState,
+    robots_df: DataFrame | None = None,
+    hot_hosts: list[str] | None = None,
 ) -> tuple[dict, float]:
     # ---- S1: listing fetch (frontier ⋈ page_store) + parse
     frontier = _listing_frontier(spark, base_url, page_band)
@@ -172,6 +181,10 @@ def _run_wave(
     # ---- P1: link extraction + per-page dedup
     links = ops.extract_links(listings, base_url)
 
+    # ---- robots filter (engine addition; BASELINE.json "robots caching"):
+    # disallowed URLs are never fetched nor marked seen
+    links = filter_allowed(links, robots_df)
+
     # ---- J2: global seen filter — in-band first occurrence, then bloom +
     # exact anti-join against the persistent seen table (cross-wave)
     links = ops.first_occurrence(links, "url", ["page", "link_pos"])
@@ -181,6 +194,19 @@ def _run_wave(
     # ---- W2: structural visit order within the band
     w_page = Window.partitionBy("page").orderBy("link_pos")
     links = links.withColumn("pos_in_page", F.row_number().over(w_page) - 1)
+
+    # ---- salted host-hash partitioning (north rule): the frontier is keyed
+    # by canonicalized host-hash; hot hosts get salt fan-out so one domain
+    # spreads across partitions (politeness budget divides per salt)
+    links = (
+        links.withColumn("host", host_of(F.col("url")))
+        .withColumn("host_bucket", host_bucket(F.col("host"), N_HOST_BUCKETS))
+        .withColumn(
+            "salt",
+            salt_for(F.col("url"), F.col("host"), hot_hosts or [], HOT_HOST_SALTS),
+        )
+        .repartition(F.col("host_bucket"), F.col("salt"))
+    )
     links = links.cache()
 
     # ---- S4: post fetch + parse
@@ -311,6 +337,27 @@ def _run_wave(
         meta={"wave": wave},
     )
     cat.append(spark, order_rows, "crawl_order", meta={"wave": wave})
+    # frontier state rows (FIXTURES.md §7 schema), partitioned by host_bucket
+    frontier_rows = links.select(
+        "url",
+        "host",
+        "host_bucket",
+        "salt",
+        "page",
+        F.col("pos_in_page").alias("pos"),
+        F.lit(1).alias("depth"),
+        F.concat(
+            F.lit(f"{base_url}/community?tab=100143&subTab=5&page="),
+            F.col("page").cast("string"),
+        ).alias("parent_url"),
+        F.lit("done").alias("state"),
+        F.lit(0).alias("attempt"),
+        F.lit(wave).alias("wave"),
+    )
+    cat.append(
+        spark, frontier_rows, "frontier", meta={"wave": wave},
+        partition_by=["host_bucket"],
+    )
     lineage = links.select(
         F.col("url").alias("child_url"),
         F.concat(

@@ -302,6 +302,91 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).filter("jaccard >= 0.5").select("doc_a", "doc_b", "jaccard")
 
 
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT doc_a, doc_b, round(sim, 4) AS cos_sim
+    FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.label = b.label)
+    WHERE round(sim, 4) >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs blocked by label (the
+    cluster id stands in for an LSH/IVF bucket — the scale path never does
+    the full cross join), cosine >= 0.9 confirmed exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (F.col("a.label") == F.col("b.label")),
+    ).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        (
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (
+                F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+                * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+            )
+        ).alias("sim"),
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round("sim", 4))
+        .filter("cos_sim >= 0.9")
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
+@register(
+    "p7_content_fallback",
+    """
+    SELECT d.doc_id, coalesce(k.kept, '') AS kept
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS kept
+      FROM (
+        SELECT doc_id, p, lines[p] AS line,
+               min(CASE WHEN length(lines[p]) > 30 THEN p END)
+                 OVER (PARTITION BY doc_id) AS start_p
+        FROM (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, 'the'),
+                                            x -> trim(x)),
+                             x -> length(x) >= 5) AS lines
+          FROM documents),
+          (SELECT unnest(generate_series(1, 600)) AS pp) t(p)
+        WHERE p <= len(lines))
+      WHERE p >= start_p
+      GROUP BY doc_id) k ON d.doc_id = k.doc_id
+    """,
+)
+def p7_content_fallback(spark, sf_dir):
+    """P7 stateful body-fallback scan (crawler.py:375-394) mapped onto
+    documents: split on a marker token, trim segments, drop short ones,
+    start keeping at the first segment >30 chars — the aggregate()
+    higher-order-function implementation from ops.content_fallback,
+    verified against a DuckDB window formulation. (The UI-noise word list
+    of the original is Korean and cannot match this corpus; it is a no-op
+    on both sides.)"""
+    from crawlspark.ops import content_fallback
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.regexp_replace(F.col("text"), "the", "\n")
+    return d.select("doc_id", content_fallback(body).alias("kept"))
+
+
 # ------------------------------------------------------------- similarity
 
 ANN_QUERIES = 5
@@ -401,6 +486,69 @@ def ann_lsh_bucket(spark, sf_dir):
         e.select("vec_id", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_vec"))
+    )
+
+
+@register(
+    "ann_ivf_assign",
+    f"""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS p),
+    flat AS (SELECT label, p, embedding[p]::DOUBLE AS v FROM embeddings, dims),
+    cent AS (SELECT label, p, avg(v) AS c FROM flat GROUP BY label, p),
+    q AS (SELECT vec_id, p, embedding[p]::DOUBLE AS v
+          FROM embeddings, dims WHERE vec_id < {ANN_QUERIES}),
+    scores AS (
+      SELECT q.vec_id AS query_id, cent.label,
+             sum(q.v * cent.c)
+               / (sqrt(sum(q.v * q.v)) * sqrt(sum(cent.c * cent.c))) AS sim
+      FROM q JOIN cent ON q.p = cent.p
+      GROUP BY q.vec_id, cent.label)
+    SELECT query_id, label AS nearest_label, round(sim, 4) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(sim, 6) DESC, label) AS rn
+          FROM scores)
+    WHERE rn = 1
+    """,
+)
+def ann_ivf_assign(spark, sf_dir):
+    """IVF-style ANN coarse quantizer: per-cluster centroids (avg vector per
+    label) then nearest-centroid assignment for the query set — the probe
+    step that bounds candidate search to one cluster at scale. Centroids
+    via position-explode + groupBy (tiny shuffle: labels x dims rows)."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("p0", "v"),
+    ).select("vec_id", "label", (F.col("p0") + 1).alias("p"), F.col("v").cast("double").alias("v"))
+    cent = flat.groupBy("label", "p").agg(F.avg("v").alias("c"))
+    q = flat.filter(F.col("vec_id") < ANN_QUERIES).withColumnRenamed(
+        "vec_id", "query_id"
+    ).drop("label")
+    scores = (
+        q.join(cent, "p")
+        .groupBy("query_id", "label")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("v") * F.col("v")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                )
+            ).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("sim", 6).desc(), F.col("label")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "query_id",
+            F.col("label").alias("nearest_label"),
+            F.round("sim", 4).alias("cos_sim"),
+        )
     )
 
 
