@@ -28,9 +28,15 @@ from crawlspark.canonical import host_bucket, host_of, salt_for
 from crawlspark.catalog import Catalog
 from crawlspark.imageops import decode_image_udf
 from crawlspark.parse import coalesced_title, parse_html, parse_post_html
-from crawlspark.politeness import RATE_LIMIT_PERIOD, RATE_LIMIT_REQUESTS
+from crawlspark.politeness import (
+    MAX_FETCH_ATTEMPTS,
+    RATE_LIMIT_PERIOD,
+    RATE_LIMIT_REQUESTS,
+    RETRY_DELAY,
+)
 from crawlspark.robots import filter_allowed
 from crawlspark.seen import BloomSeen
+from crawlspark.sources import api_listing_url, extract_links_api
 
 N_HOST_BUCKETS = 32  # frontier partitioning key space (sandbox scale)
 HOT_HOST_SALTS = 4  # skew fan-out for hot hosts
@@ -90,9 +96,14 @@ def crawl(
     image_keep_bytes: bool = True,
     robots_df: DataFrame | None = None,
     hot_hosts: list[str] | None = None,
+    listing_source: str = "render",
 ) -> CrawlResult:
     """Crawl the synthetic site in `page_store`, committing state under
-    `workdir`. pages_per_wave=0 → everything in one wave."""
+    `workdir`. pages_per_wave=0 → everything in one wave.
+
+    listing_source: 'render' (S1, HTML scan), 'api' (S2, REST JSON scan), or
+    'auto' (S3 dispatch: API first, render fallback per page —
+    legacy/crawler_legacy.py:313-319). All three produce identical links."""
     cat = Catalog(workdir)
     run_id = run_id or uuid.uuid4().hex[:12]
     bloom = BloomSeen()
@@ -134,6 +145,7 @@ def crawl(
         stats, vsec = _run_wave(
             spark, cat, bloom, page_store, base_url, run_id, wave, page_band,
             image_keep_bytes, bucket, robots_df, hot_hosts or [],
+            listing_source,
         )
         for k in totals:
             totals[k] += stats[k]
@@ -164,22 +176,12 @@ def _run_wave(
     bucket: _BucketState,
     robots_df: DataFrame | None = None,
     hot_hosts: list[str] | None = None,
+    listing_source: str = "render",
 ) -> tuple[dict, float]:
-    # ---- S1: listing fetch (frontier ⋈ page_store) + parse
-    frontier = _listing_frontier(spark, base_url, page_band)
-    listings = (
-        frontier.join(
-            page_store.filter(F.col("kind") == "listing").select("url", "body"),
-            "url",
-        )
-        .withColumn("parsed", parse_html(F.col("body")))
-        .select("url", "page", "parsed")
+    # ---- S1/S2/S3: listing fetch + P1 link extraction (source dispatch)
+    links, pages_with_posts = _band_links(
+        spark, page_store, base_url, page_band, listing_source
     )
-    listings = listings.cache()
-    pages_with_posts = listings.count()
-
-    # ---- P1: link extraction + per-page dedup
-    links = ops.extract_links(listings, base_url)
 
     # ---- robots filter (engine addition; BASELINE.json "robots caching"):
     # disallowed URLs are never fetched nor marked seen
@@ -209,17 +211,53 @@ def _run_wave(
     )
     links = links.cache()
 
-    # ---- S4: post fetch + parse
-    posts = (
+    # ---- S4: post fetch with retry/error semantics (config.py:87-89: up to
+    # MAX_FETCH_ATTEMPTS attempts, RETRY_DELAY backoff per failure — see
+    # _virtual_seconds). The synthetic fetcher is deterministic (attempt k's
+    # outcome is a pure function of the row's fail_attempts), so the retry
+    # queue "re-enter with attempt+1" collapses algebraically into one left
+    # join + predicate: alive iff the body exists and fewer than
+    # MAX_FETCH_ATTEMPTS attempts fail. URLs absent from the store are
+    # permanently dead. Attempt counts land in the frontier/errors tables.
+    fetched = (
         links.join(
             page_store.filter(F.col("kind") == "post").select(
-                "url", F.col("body").alias("post_body")
+                "url",
+                F.col("body").alias("post_body"),
+                F.coalesce("fail_attempts", F.lit(0)).alias("fail_attempts"),
             ),
             "url",
+            "left",
         )
-        .withColumn("parsed", parse_post_html(F.col("post_body")))
+        .withColumn(
+            "fail_attempts",
+            F.when(
+                F.col("post_body").isNull(), F.lit(MAX_FETCH_ATTEMPTS)
+            ).otherwise(F.col("fail_attempts")),
+        )
+        .withColumn("alive", F.col("fail_attempts") < MAX_FETCH_ATTEMPTS)
         .withColumn("post_id", F.element_at(F.split("url", "/"), -1))
-        .select("url", "post_id", "page", "pos_in_page", "link_pos", "parsed")
+    )
+    fetched = fetched.cache()
+
+    # ---- S12: error sink — posts that exhausted retries
+    errors_df = fetched.filter(~F.col("alive")).select(
+        "url",
+        "post_id",
+        "page",
+        "pos_in_page",
+        F.lit(f"fetch failed after {MAX_FETCH_ATTEMPTS} attempts").alias("error"),
+        F.lit(MAX_FETCH_ATTEMPTS).alias("attempts"),
+        F.lit(wave).alias("wave"),
+    )
+
+    posts = (
+        fetched.filter("alive")
+        .withColumn("parsed", parse_post_html(F.col("post_body")))
+        .select(
+            "url", "post_id", "page", "pos_in_page", "link_pos",
+            "fail_attempts", "parsed",
+        )
     )
 
     # ---- P2-P4: VIP / post-count / skip filter
@@ -309,9 +347,19 @@ def _run_wave(
     n_skipped = posts.filter(~F.col("kept")).count()
     n_images = images_out.count()
     n_downloads = records.filter("has_download").count()
+    n_errors = errors_df.count()
 
     # ---- politeness accounting (virtual time, global budget — config.py:75-77)
-    vsec = _virtual_seconds(posts, imgs, page_band, bucket)
+    events = posts.select(
+        "page", "pos_in_page", "post_id", "fail_attempts",
+        F.lit(True).alias("alive"), "kept",
+    ).unionByName(
+        fetched.filter(~F.col("alive")).select(
+            "page", "pos_in_page", "post_id", "fail_attempts",
+            F.lit(False).alias("alive"), F.lit(False).alias("kept"),
+        )
+    )
+    vsec = _virtual_seconds(events, imgs, page_band, bucket)
 
     # ---- commits (snapshot catalog; one pointer swap per table)
     order_rows = links.select(
@@ -337,8 +385,10 @@ def _run_wave(
         meta={"wave": wave},
     )
     cat.append(spark, order_rows, "crawl_order", meta={"wave": wave})
-    # frontier state rows (FIXTURES.md §7 schema), partitioned by host_bucket
-    frontier_rows = links.select(
+    # frontier state rows (FIXTURES.md §7 schema), partitioned by host_bucket;
+    # state/attempt reflect the retry outcome (done after fail+1 attempts,
+    # error after MAX_FETCH_ATTEMPTS)
+    frontier_rows = fetched.select(
         "url",
         "host",
         "host_bucket",
@@ -350,8 +400,12 @@ def _run_wave(
             F.lit(f"{base_url}/community?tab=100143&subTab=5&page="),
             F.col("page").cast("string"),
         ).alias("parent_url"),
-        F.lit("done").alias("state"),
-        F.lit(0).alias("attempt"),
+        F.when(F.col("alive"), F.lit("done")).otherwise(F.lit("error")).alias(
+            "state"
+        ),
+        F.when(F.col("alive"), F.col("fail_attempts") + 1)
+        .otherwise(F.lit(MAX_FETCH_ATTEMPTS))
+        .alias("attempt"),
         F.lit(wave).alias("wave"),
     )
     cat.append(
@@ -377,9 +431,12 @@ def _run_wave(
         )
     )
     cat.append(spark, lineage, "lineage", meta={"wave": wave})
+    cat.append(spark, errors_df, "errors", meta={"wave": wave})
     # per-partition checkpoint rows
-    cp = links.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-        F.count("*").alias("fetched")
+    cp = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("fetched"),
+        F.sum(F.when(F.col("alive"), 1).otherwise(0)).alias("parsed"),
+        F.sum(F.when(F.col("alive"), 0).otherwise(1)).alias("errs"),
     )
     cp = cp.select(
         F.lit(run_id).alias("run_id"),
@@ -388,8 +445,8 @@ def _run_wave(
         F.col("fetched").cast("long").alias("frontier_offset"),
         F.lit(bloom.version).alias("seen_shard_version"),
         F.col("fetched").cast("long").alias("fetched"),
-        F.col("fetched").cast("long").alias("parsed"),
-        F.lit(0).cast("long").alias("errors"),
+        F.col("parsed").cast("long").alias("parsed"),
+        F.col("errs").cast("long").alias("errors"),
         F.lit(f"wave-{wave}").alias("committed_at"),
     )
     stats = {
@@ -398,7 +455,7 @@ def _run_wave(
         "posts_skipped": n_skipped,
         "posts_with_downloads": n_downloads,
         "files_processed": n_images,
-        "errors": 0,
+        "errors": n_errors,
     }
     metrics_row = spark.createDataFrame(
         [
@@ -422,26 +479,76 @@ def _run_wave(
 
     # update bloom with this wave's URLs
     bloom.add_urls(links)
-    listings.unpersist()
     links.unpersist()
+    fetched.unpersist()
     posts.unpersist()
     images_out.unpersist()
     return stats, vsec
 
 
+def _band_links(
+    spark: SparkSession,
+    page_store: DataFrame,
+    base_url: str,
+    page_band: list[int],
+    listing_source: str,
+) -> tuple[DataFrame, int]:
+    """Listing-source dispatch → (links, pages_served).
+
+    links: (page, link_pos, url, link_title) with identical filter/dedup
+    semantics from either source; pages_served: pages a source answered."""
+
+    def _render(band: list[int]) -> tuple[DataFrame, int]:
+        frontier = _listing_frontier(spark, base_url, band)
+        listings = frontier.join(
+            page_store.filter(F.col("kind") == "listing").select("url", "body"),
+            "url",
+        )
+        n = listings.count()
+        parsed = listings.withColumn("parsed", parse_html(F.col("body"))).select(
+            "url", "page", "parsed"
+        )
+        return ops.extract_links(parsed, base_url), n
+
+    if listing_source == "render":
+        return _render(page_band)
+    if listing_source not in ("api", "auto"):
+        raise ValueError(f"unknown listing_source: {listing_source!r}")
+
+    api_frontier = spark.createDataFrame(
+        [(api_listing_url(base_url, p), p) for p in page_band],
+        "url string, page int",
+    )
+    api_listings = api_frontier.join(
+        page_store.filter(F.col("kind") == "listing_api").select("url", "body"),
+        "url",
+    ).select("page", "body")
+    api_pages = {r["page"] for r in api_listings.select("page").distinct().collect()}
+    api_links = extract_links_api(api_listings, base_url)
+    missing = [p for p in page_band if p not in api_pages]
+    if listing_source == "api" or not missing:
+        return api_links, len(api_pages)
+    # S3 fallback: render the pages the API could not serve (legacy:313-319)
+    render_links, n_render = _render(missing)
+    return api_links.unionByName(render_links), len(api_pages) + n_render
+
+
 def _virtual_seconds(
-    posts: DataFrame, imgs: DataFrame, page_band: list[int], bucket: _BucketState
+    events: DataFrame, imgs: DataFrame, page_band: list[int], bucket: _BucketState
 ) -> float:
     """Reproduce the oracle's TokenBucket.now: build the structurally-ordered
     request event sequence (listing, post, image fetches with their
-    inter-request sleeps) and run the exact bucket recurrence, carrying
-    state across waves. The event list is tiny (1 row per request, no
-    payloads) — metrics path only. Returns this wave's delta seconds."""
+    inter-request sleeps — including failed attempts, each one token +
+    RETRY_DELAY) and run the exact bucket recurrence, carrying state across
+    waves. The event list is tiny (1 row per request, no payloads) — metrics
+    path only. Returns this wave's delta seconds."""
     img_counts = {
         r["post_id"]: r["n"]
         for r in imgs.groupBy("post_id").agg(F.count("*").alias("n")).collect()
     }
-    pid_rows = posts.select("page", "pos_in_page", "post_id", "kept").collect()
+    pid_rows = events.select(
+        "page", "pos_in_page", "post_id", "fail_attempts", "alive", "kept"
+    ).collect()
     by_page: dict[int, list] = {}
     for r in pid_rows:
         by_page.setdefault(r["page"], []).append(r)
@@ -451,6 +558,11 @@ def _virtual_seconds(
         bucket.request(pending)  # listing fetch
         pending = WAIT_PAGE_LOAD
         for r in sorted(by_page.get(p, []), key=lambda r: r["pos_in_page"]):
+            for _ in range(min(r["fail_attempts"], MAX_FETCH_ATTEMPTS)):
+                bucket.request(pending)  # failed fetch attempt
+                pending = RETRY_DELAY
+            if not r["alive"]:
+                continue  # exhausted retries — no successful fetch
             bucket.request(pending)  # post fetch
             pending = WAIT_POST_NAV
             if r["kept"]:

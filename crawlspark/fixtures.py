@@ -25,6 +25,7 @@ hash-expand to millions.
 from __future__ import annotations
 
 import random
+import re
 from dataclasses import dataclass, field
 
 from crawlspark import codec
@@ -70,6 +71,12 @@ class SiteSpec:
     dup_rate: float = 0.15  # fraction of listing slots that repeat an earlier URL
     noise_anchors: int = 2
     empty_title_rate: float = 0.1
+    # retry/error knobs (reference: 3 retries / 5 s delay, src/config.py:87-89)
+    dead_rate: float = 0.0  # posts whose fetch never succeeds -> error record
+    flaky_rate: float = 0.0  # posts that fail 1-2 attempts, then succeed
+    # fraction of pages whose REST listing API is unavailable -> the 'auto'
+    # listing source falls back to rendering (S3, legacy:313-319)
+    api_missing_rate: float = 0.0
 
 
 @dataclass
@@ -89,6 +96,9 @@ class PostTruth:
     attach_cases: list[tuple[str, str, bool, str | None]]
     expected_skipped: bool = False
     expected_formats: list[str] = field(default_factory=list)
+    # fetch attempts that fail before the body is served; >= MAX_FETCH_ATTEMPTS
+    # (crawlspark.politeness) means the post is permanently dead
+    fail_attempts: int = 0
 
 
 @dataclass
@@ -172,6 +182,15 @@ def _make_post(spec: SiteSpec, page: int, pos: int, pid: int) -> PostTruth:
         fmts.append("pdf")
 
     skipped = (not is_vip) and (post_count is not None) and (post_count < 100)
+
+    # retry/error path: dead posts never serve; flaky posts fail 1-2 attempts
+    roll2 = rng.random()
+    if roll2 < spec.dead_rate:
+        fail_attempts = 3  # == MAX_FETCH_ATTEMPTS -> exhausts retries
+    elif roll2 < spec.dead_rate + spec.flaky_rate:
+        fail_attempts = rng.randrange(1, 3)  # succeeds within retries
+    else:
+        fail_attempts = 0
     return PostTruth(
         post_id=post_id,
         url=url,
@@ -188,6 +207,7 @@ def _make_post(spec: SiteSpec, page: int, pos: int, pid: int) -> PostTruth:
         attach_cases=cases,
         expected_skipped=skipped,
         expected_formats=sorted(fmts),
+        fail_attempts=fail_attempts,
     )
 
 
@@ -256,6 +276,38 @@ def render_listing_html(site: Site, page: int) -> str:
     )
 
 
+def api_listing_url(spec: SiteSpec, page: int) -> str:
+    """S2 REST listing endpoint (legacy/crawler_legacy.py:235-282)."""
+    return (
+        f"{spec.base_url}/api/v1/community/posts"
+        f"?tab=100143&subTab=5&page={page}&size=30"
+    )
+
+
+def render_listing_api_json(site: Site, page: int) -> str:
+    """JSON payload of the REST listing (legacy:235-282): ``content[]`` of
+    ``{id, title}`` covering the same post slots as the rendered page in the
+    same order — noise anchors are a render-only phenomenon; blanked titles
+    stay blanked (both extractors drop them)."""
+    import json
+
+    pat = re.compile(rf"^{re.escape(site.spec.base_url)}/community/(\d+)$")
+    content = []
+    for title, href in site.listing[page - 1]:
+        m = pat.match(href)
+        if not m:
+            continue  # noise anchor — never present in the API response
+        content.append({"id": int(m.group(1)), "title": title})
+    return json.dumps({"content": content, "page": page}, ensure_ascii=False)
+
+
+def api_page_available(spec: SiteSpec, page: int) -> bool:
+    """Deterministic per-page API availability (S3 fallback knob)."""
+    if spec.api_missing_rate <= 0:
+        return True
+    return _rng(spec, "api_avail", page).random() >= spec.api_missing_rate
+
+
 def render_post_html(site: Site, truth: PostTruth) -> str:
     spec = site.spec
     vip = " 크리에이터" if truth.is_vip else ""
@@ -303,8 +355,20 @@ def page_store_rows(site: Site, image_size: int = 32) -> list[dict]:
                 "page": page,
                 "body": render_listing_html(site, page),
                 "payload": None,
+                "fail_attempts": 0,
             }
         )
+        if api_page_available(site.spec, page):
+            rows.append(
+                {
+                    "url": api_listing_url(site.spec, page),
+                    "kind": "listing_api",
+                    "page": page,
+                    "body": render_listing_api_json(site, page),
+                    "payload": None,
+                    "fail_attempts": 0,
+                }
+            )
     for truth in site.posts.values():
         rows.append(
             {
@@ -313,6 +377,7 @@ def page_store_rows(site: Site, image_size: int = 32) -> list[dict]:
                 "page": None,
                 "body": render_post_html(site, truth),
                 "payload": None,
+                "fail_attempts": truth.fail_attempts,
             }
         )
         for img_url in truth.expected_image_urls:
@@ -323,6 +388,7 @@ def page_store_rows(site: Site, image_size: int = 32) -> list[dict]:
                     "page": None,
                     "body": None,
                     "payload": image_payload(img_url, image_size, image_size),
+                    "fail_attempts": 0,
                 }
             )
     return rows

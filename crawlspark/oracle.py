@@ -53,6 +53,8 @@ WAIT_POST_NAV = 3.0  # crawler.py:331
 WAIT_BETWEEN_PAGES = 1.0  # crawler.py:688
 RATE_LIMIT_REQUESTS = 5  # config.py:75
 RATE_LIMIT_PERIOD = 10.0  # config.py:76
+MAX_FETCH_ATTEMPTS = 3  # config.py:87 (max_retries)
+RETRY_DELAY = 5.0  # config.py:88 + error backoff crawler.py:696
 
 CERT_PATTERNS = ["원격평생교육원", "certificate", "인증서", "증명서", "수료증"]
 DOC_EXTS = ["pdf", "pptx", "ppt", "docx", "doc", "hwp", "xlsx", "xls"]
@@ -89,6 +91,7 @@ class OracleResult:
     images: list[dict]
     stats: dict
     virtual_seconds: float
+    errors: list[dict] = field(default_factory=list)
 
 
 def _extract_links(base_url: str, html: str) -> list[tuple[str, str]]:
@@ -229,6 +232,7 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
         "errors": 0,
     }
     bucket = TokenBucket()
+    errors: list[dict] = []
     seq = 0
 
     pages = spec.pages if max_pages is None else min(spec.pages, max_pages)
@@ -242,14 +246,33 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
             if url in visited:
                 continue  # global seen set (crawler.py:82)
             visited.add(url)
-            bucket.request()  # post fetch
-            bucket.advance(WAIT_POST_NAV)
             crawl_order.append((seq, url, page, pos_visit))
             seq += 1
             pos_visit += 1
 
             post_id = url.rsplit("/", 1)[-1]
             truth = site.posts[post_id]
+            # retry path (config.py:87-89): each failed attempt consumes a
+            # request token + 5 s backoff (crawler.py:696)
+            n_fail = min(truth.fail_attempts, MAX_FETCH_ATTEMPTS)
+            for _ in range(n_fail):
+                bucket.request()  # failed fetch attempt
+                bucket.advance(RETRY_DELAY)
+            if truth.fail_attempts >= MAX_FETCH_ATTEMPTS:
+                errors.append(
+                    {
+                        "url": url,
+                        "post_id": post_id,
+                        "page": page,
+                        "pos_in_page": pos_visit - 1,
+                        "error": f"fetch failed after {MAX_FETCH_ATTEMPTS} attempts",
+                        "attempts": MAX_FETCH_ATTEMPTS,
+                    }
+                )
+                stats["errors"] += 1
+                continue  # visited but never served (S12 error sink)
+            bucket.request()  # post fetch (successful attempt)
+            bucket.advance(WAIT_POST_NAV)
             phtml = render_post_html(site, truth)
 
             side = _sidebar(phtml)
@@ -313,4 +336,5 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
         images=images,
         stats=stats,
         virtual_seconds=bucket.now,
+        errors=errors,
     )

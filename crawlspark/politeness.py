@@ -30,6 +30,11 @@ from pyspark.sql import types as T
 
 RATE_LIMIT_REQUESTS = 5
 RATE_LIMIT_PERIOD = 10.0
+# retry policy (reference src/config.py:87-89: 3 retries, 5 s delay; error
+# backoff crawler.py:696) — a post URL gets MAX_FETCH_ATTEMPTS attempts, each
+# failed attempt costs one request token + RETRY_DELAY virtual seconds
+MAX_FETCH_ATTEMPTS = 3
+RETRY_DELAY = 5.0
 
 
 def schedule_numpy(

@@ -16,6 +16,23 @@ PAGE_STORE = T.StructType(
         T.StructField("page", T.IntegerType(), True),
         T.StructField("body", T.StringType(), True),
         T.StructField("payload", T.BinaryType(), True),
+        # number of fetch attempts that fail before this URL serves its body
+        # (0 = healthy; >= MAX_FETCH_ATTEMPTS = permanently dead). Drives the
+        # deterministic retry/error path (reference: 3 retries / 5 s delay,
+        # src/config.py:87-89; error backoff crawler.py:696).
+        T.StructField("fail_attempts", T.IntegerType(), True),
+    ]
+)
+
+ERRORS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("post_id", T.StringType(), True),
+        T.StructField("page", T.IntegerType(), True),
+        T.StructField("pos_in_page", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("wave", T.IntegerType(), False),
     ]
 )
 

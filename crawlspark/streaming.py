@@ -1,0 +1,88 @@
+"""Structured Streaming wrapper over the wave engine (SURVEY §2.8).
+
+The reference's unbounded ``while True`` page loop (src/crawler/
+crawler.py:668-696) maps onto an unbounded stream of frontier bands:
+``readStream`` over a directory of frontier files, each micro-batch running
+one wave of the exact batch pipeline via ``foreachBatch`` — same Catalyst
+plan, same snapshot-catalog commits, same politeness accounting.
+
+Exactly-once: the wave id is ``batch_id + 1`` (stable across foreachBatch
+retries) and committed waves are skipped, so a replayed micro-batch is a
+no-op; ``merge_new`` keeps row-level commits idempotent on top of that.
+Late or duplicate frontier rows need no watermark — the URL-seen table
+never expires (reference semantics: duplicates are always dropped,
+crawler.py:82, storage.py:44-53), which is the degenerate-but-exact form
+of streaming dedup state.
+
+The catalog under ``workdir`` must be owned by one stream (the wave ids
+are the stream's batch ids); batch `crawl()` and `stream_crawl()` runs
+over the same workdir would collide on wave numbering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crawlspark.catalog import Catalog
+from crawlspark.driver import _BucketState, _run_wave
+from crawlspark.seen import BloomSeen
+
+# frontier stream rows carry just the page cursor; the wave builds its
+# listing URLs (render or API) from it
+FRONTIER_STREAM_SCHEMA = "page int"
+
+
+def stream_crawl(
+    spark: SparkSession,
+    stream_dir: str,
+    page_store: DataFrame,
+    base_url: str,
+    workdir: str,
+    stream_checkpoint: str,
+    run_id: str = "stream",
+    listing_source: str = "render",
+    image_keep_bytes: bool = True,
+) -> None:
+    """Consume all currently-available frontier files (Trigger.AvailableNow),
+    one wave per micro-batch, then stop. Restart with the same
+    ``stream_checkpoint`` to pick up newly arrived files — batch ids (and so
+    wave ids) continue where they left off."""
+    page_store = page_store.cache()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        wave = batch_id + 1
+        cat = Catalog(workdir)
+        cp = cat.read(spark, "checkpoints")
+        if cp is not None:
+            done = {r["wave"] for r in cp.select("wave").distinct().collect()}
+            if wave in done:
+                return  # foreachBatch retry of a committed wave — no-op
+        pages = sorted({r["page"] for r in batch_df.select("page").collect()})
+        if not pages:
+            return
+        # rebuild cross-wave state exactly as the batch driver's resume path
+        bloom = BloomSeen()
+        seen_df = cat.read(spark, "seen")
+        if seen_df is not None:
+            bloom.add_urls(seen_df)
+        bucket = _BucketState()
+        mlog = cat.log("metrics")
+        if mlog:
+            last = mlog[-1]
+            bucket = _BucketState(
+                last.get("bucket_times"), last.get("bucket_now", 0.0)
+            )
+        _run_wave(
+            spark, cat, bloom, page_store, base_url, run_id, wave, pages,
+            image_keep_bytes, bucket, None, [], listing_source,
+        )
+
+    q = (
+        spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
