@@ -103,6 +103,154 @@ def p4_skip_filter_3vl(spark, sf_dir):
 
 
 @register(
+    "p2_vip_predicate",
+    """
+    SELECT doc_id,
+           (text LIKE '%vector%' OR text LIKE '%merge%') AS is_vip
+    FROM documents
+    """,
+)
+def p2_vip_predicate(spark, sf_dir):
+    """P2 VIP predicate (crawler.py:242-252): sidebar-contains-keyword OR,
+    mapped onto document text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.col("text").contains("vector") | F.col("text").contains("merge")).alias(
+            "is_vip"
+        ),
+    )
+
+
+@register(
+    "p5_title_coalesce",
+    """
+    SELECT doc_id,
+           coalesce(
+             nullif(regexp_extract(text, '^((?:\\S+ ){4}\\S+)', 1), ''),
+             nullif(trim(substr(text, 1, 20)), ''),
+             'untitled-' || CAST(doc_id AS VARCHAR)
+           ) AS title
+    FROM documents
+    """,
+)
+def p5_title_coalesce(spark, sf_dir):
+    """P5/W6 selector coalesce with early exit (crawler.py:341-357): first
+    five words, else trimmed prefix, else synthetic fallback — Catalyst
+    short-circuits exactly like the reference's first-hit selector loop."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("text", r"^((?:\S+ ){4}\S+)", 1), F.lit("")
+            ),
+            F.nullif(F.trim(F.substring("text", 1, 20)), F.lit("")),
+            F.concat(F.lit("untitled-"), F.col("doc_id").cast("string")),
+        ).alias("title"),
+    )
+
+
+@register(
+    "p8_meta_extract",
+    """
+    SELECT c_custkey,
+           CAST(nullif(regexp_extract(c_name, '#0*([0-9]+)', 1), '') AS INT)
+             AS name_num,
+           coalesce(nullif(c_mktsegment, ''), 'unknown') AS segment
+    FROM customer
+    """,
+)
+def p8_meta_extract(spark, sf_dir):
+    """P8 metadata extract (crawler.py:398-420): regexp_extract of the
+    embedded id + coalesce-with-fallback over a possibly-empty field."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.nullif(F.regexp_extract("c_name", r"#0*([0-9]+)", 1), F.lit(""))
+        .cast("int")
+        .alias("name_num"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("")), F.lit("unknown")).alias(
+            "segment"
+        ),
+    )
+
+
+_CERT_PATTERNS = ["red", "blue", "economy", "brand#1", "gear"]
+
+
+@register(
+    "p11_cert_filter",
+    f"""
+    SELECT p_partkey
+    FROM (SELECT p_partkey,
+                 lower(concat_ws(' ', p_name, p_type, p_brand)) AS blob
+          FROM part)
+    WHERE NOT ({" OR ".join(f"blob LIKE '%{p}%'" for p in _CERT_PATTERNS)})
+    """,
+)
+def p11_cert_filter(spark, sf_dir):
+    """P11 certificate-decoy filter (download_detector.py:73-79, 170-189):
+    drop rows whose text blob contains ANY of N case-insensitive patterns —
+    the higher-order `exists()` over a literal pattern array, negated.
+    Same shape serves P14/P17's anchors-array detect strategies."""
+    p = _t(spark, sf_dir, "part")
+    blob = F.lower(F.concat_ws(" ", "p_name", "p_type", "p_brand"))
+    pats = F.array(*[F.lit(x) for x in _CERT_PATTERNS])
+    return (
+        p.select("p_partkey", blob.alias("blob"))
+        .filter(~F.exists(pats, lambda pat: F.col("blob").contains(pat)))
+        .select("p_partkey")
+    )
+
+
+@register(
+    "p15_proximity_window",
+    """
+    SELECT doc_id, pos
+    FROM (SELECT doc_id, text, position('merge' IN text) AS pos
+          FROM documents)
+    WHERE pos > 0
+      AND contains(substr(text, greatest(1, pos - 50), 105), 'fast')
+    """,
+)
+def p15_proximity_window(spark, sf_dir):
+    """P15 context-window detect (download_detector.py:392-433): a filename
+    match counts only if a download keyword occurs within +/-50 chars —
+    locate + substring + contains, all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.select("doc_id", "text", F.locate("merge", F.col("text")).alias("pos"))
+    window = F.expr("substring(text, greatest(1, pos - 50), 105)")
+    return (
+        d.filter((F.col("pos") > 0) & window.contains("fast"))
+        .select("doc_id", "pos")
+    )
+
+
+@register(
+    "p20_session_expiry",
+    """
+    SELECT doc_id,
+           (contains(text, 'slow')
+            OR (contains(text, 'scan') AND NOT contains(text, 'fast')))
+             AS expired
+    FROM documents
+    """,
+)
+def p20_session_expiry(spark, sf_dir):
+    """P20/P21 session predicates (crawler.py:156-163, auth.py:225-257):
+    A OR (B AND NOT C) keyword logic over fetched body text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (
+            F.col("text").contains("slow")
+            | (F.col("text").contains("scan") & ~F.col("text").contains("fast"))
+        ).alias("expired"),
+    )
+
+
+@register(
     "p10_ext_infer",
     """
     SELECT url,

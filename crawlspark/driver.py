@@ -33,6 +33,7 @@ from crawlspark.politeness import (
     RATE_LIMIT_PERIOD,
     RATE_LIMIT_REQUESTS,
     RETRY_DELAY,
+    schedule,
 )
 from crawlspark.robots import filter_allowed
 from crawlspark.seen import BloomSeen
@@ -457,6 +458,11 @@ def _run_wave(
         "files_processed": n_images,
         "errors": n_errors,
     }
+    # per-(host,salt) politeness schedule (scale path): the GLOBAL bucket
+    # above reproduces the reference's single-session budget; at fleet scale
+    # each host gets its own 5-req/10-s window, and a salt-split hot host
+    # divides its budget across salts (period*k per salt) — SURVEY §7.3
+    _commit_politeness(spark, cat, links, imgs, wave, hot_hosts or [])
     metrics_row = spark.createDataFrame(
         [
             (
@@ -484,6 +490,70 @@ def _run_wave(
     posts.unpersist()
     images_out.unpersist()
     return stats, vsec
+
+
+def _commit_politeness(
+    spark: SparkSession,
+    cat: Catalog,
+    links: DataFrame,
+    imgs: DataFrame,
+    wave: int,
+    hot_hosts: list[str],
+) -> None:
+    """Per-(host,salt) request schedule for this wave → `politeness` table.
+
+    Events: one post fetch per frontier link (sleep_before = nav wait) and
+    one image fetch per image row (back-to-back), sequenced structurally.
+    Each scope runs the exact token-bucket recurrence via applyInPandas;
+    hot hosts' salt scopes get period*k (the host budget divided by k)."""
+    seq = (
+        F.col("page").cast("long") * 1_000_000
+        + F.col("pos_in_page").cast("long") * 100
+    )
+    post_ev = links.select(
+        "host",
+        "salt",
+        seq.alias("seq"),
+        F.lit(WAIT_POST_NAV).alias("sleep_before"),
+    )
+    img_host = host_of(F.col("img_url"))
+    img_ev = imgs.select(
+        img_host.alias("host"),
+        salt_for(F.col("img_url"), img_host, hot_hosts, HOT_HOST_SALTS).alias(
+            "salt"
+        ),
+        (seq + F.col("img_idx")).alias("seq"),
+        F.lit(0.0).alias("sleep_before"),
+    )
+    ev = post_ev.unionByName(img_ev)
+    period = (
+        F.when(
+            F.col("host").isin(hot_hosts),
+            F.lit(RATE_LIMIT_PERIOD * HOT_HOST_SALTS),
+        ).otherwise(F.lit(RATE_LIMIT_PERIOD))
+        if hot_hosts
+        else F.lit(RATE_LIMIT_PERIOD)
+    )
+    ev = ev.withColumn("scope", F.concat_ws("#", "host", "salt")).withColumn(
+        "period", period
+    )
+    sched = schedule(ev)
+    summary = (
+        sched.groupBy("scope")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.max("start_at").alias("finish_at"),
+        )
+        .join(
+            ev.select("scope", "host", "salt", "period").distinct(), "scope"
+        )
+        .select(
+            "scope", "host", "salt", "period",
+            F.col("n_requests").cast("long").alias("n_requests"),
+            "finish_at", F.lit(wave).alias("wave"),
+        )
+    )
+    cat.append(spark, summary, "politeness", meta={"wave": wave})
 
 
 def _band_links(

@@ -45,18 +45,32 @@ SHINGLE_K = 3
 @register(
     "dedup_exact",
     """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 20 = 0
+    )
     SELECT content_hash, min(doc_id) AS keeper, count(*) AS n_dups
-    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM corpus)
     GROUP BY content_hash
     HAVING count(*) > 1
     """,
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on md5(text); keeper = min doc_id.
-    At scale: hash in the scan stage, shuffle only (hash, doc_id)."""
-    d = _t(spark, sf_dir, "documents")
+    The corpus has no natural exact dups, so the query plants known ones
+    (every 20th doc re-ingested under a shifted id) — the dedup must find
+    exactly that set. At scale: hash in the scan stage, shuffle only
+    (hash, doc_id)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
     return (
-        d.select("doc_id", F.md5("text").alias("content_hash"))
+        corpus.select("doc_id", F.md5("text").alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
         .filter("n_dups > 1")

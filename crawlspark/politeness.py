@@ -72,18 +72,30 @@ _SCHED_SCHEMA = T.StructType(
 
 def schedule(requests: DataFrame) -> DataFrame:
     """Per-scope schedule. Input columns: scope:string (host or host#salt),
-    seq:long (structural order within scope), sleep_before:double.
+    seq:long (structural order within scope), sleep_before:double, and
+    optionally period:double — the per-scope rate window (a hot host split
+    into k salts gets period*k per salt, i.e. the host budget divided by k).
     Output: (scope, seq, start_at). Grouped-map pandas UDF — each scope's
     sequence is independent, so scopes parallelize across partitions."""
 
+    has_period = "period" in requests.columns
+
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq")
-        t = schedule_numpy(pdf["sleep_before"].to_numpy(dtype=np.float64))
+        period = (
+            float(pdf["period"].iloc[0]) if has_period else RATE_LIMIT_PERIOD
+        )
+        t = schedule_numpy(
+            pdf["sleep_before"].to_numpy(dtype=np.float64), period=period
+        )
         return pd.DataFrame(
             {"scope": pdf["scope"].to_numpy(), "seq": pdf["seq"].to_numpy(), "start_at": t}
         )
 
-    return requests.groupBy("scope").applyInPandas(_one, schema=_SCHED_SCHEMA)
+    cols = ["scope", "seq", "sleep_before"] + (["period"] if has_period else [])
+    return requests.select(*cols).groupBy("scope").applyInPandas(
+        _one, schema=_SCHED_SCHEMA
+    )
 
 
 def virtual_seconds(

@@ -24,6 +24,18 @@ PAGE_STORE = T.StructType(
     ]
 )
 
+POLITENESS = T.StructType(
+    [
+        T.StructField("scope", T.StringType(), False),  # host#salt
+        T.StructField("host", T.StringType(), True),
+        T.StructField("salt", T.IntegerType(), True),
+        T.StructField("period", T.DoubleType(), False),  # per-scope window
+        T.StructField("n_requests", T.LongType(), False),
+        T.StructField("finish_at", T.DoubleType(), False),
+        T.StructField("wave", T.IntegerType(), False),
+    ]
+)
+
 ERRORS = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
