@@ -157,6 +157,23 @@ def phash64(pixels: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+# vocabulary for the OCR stand-in (legacy OCR emits Korean text)
+_OCR_WORDS = ["아파트", "전세", "매매", "분양", "청약", "금리", "대출", "투자"]
+
+
+def fake_ocr(pixels: np.ndarray) -> str:
+    """Deterministic OCR STAND-IN. The legacy pipeline runs PaddleOCR over
+    cv2-decoded bytes (legacy/crawler_legacy.py:322-330); no OCR library
+    exists in this container, so this derives a stable token string from
+    the decoded pixels — engine and oracle agree byte-for-byte, and the
+    Spark-side plumbing (decode → per-image text column joined into the
+    record stream) is the real thing."""
+    h = hashlib.blake2b(np.ascontiguousarray(pixels).tobytes(), digest_size=8)
+    d = h.digest()
+    words = [_OCR_WORDS[b % len(_OCR_WORDS)] for b in d[:3]]
+    return " ".join(words) + " #" + d.hex()[:6]
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic pixel content for a synthetic image id (seeded PCG64)."""
     seed = int.from_bytes(

@@ -300,6 +300,7 @@ def _run_wave(
             "fmt",
             "caption",
             F.col("dec.phash").alias("phash"),
+            F.col("dec.ocr_text").alias("ocr_text"),
             "post_id",
             F.col("img_url").alias("url"),
             "img_idx",

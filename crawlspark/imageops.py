@@ -34,6 +34,8 @@ DECODED = T.StructType(
         T.StructField("phash", T.LongType()),
         T.StructField("ok", T.BooleanType()),
         T.StructField("psnr_db", T.DoubleType()),
+        # OCR stand-in text (legacy:322-330 analog; codec.fake_ocr)
+        T.StructField("ocr_text", T.StringType()),
     ]
 )
 
@@ -44,7 +46,7 @@ def decode_image_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     against a re-encode roundtrip (inf for lossless; for the fake lossy
     codec the roundtrip is idempotent, so this reports the codec's own
     fidelity floor ceiling: inf once quantized)."""
-    ws, hs, ph, oks, ps = [], [], [], [], []
+    ws, hs, ph, oks, ps, ocr = [], [], [], [], [], []
     for b, f in zip(data, fmt):
         try:
             px = codec.decode_image(bytes(b), f)
@@ -53,12 +55,14 @@ def decode_image_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
             ph.append(codec.phash64(px))
             rt = codec.decode_image(codec.encode_image(px, f), f)
             ps.append(codec.psnr(px, rt))
+            ocr.append(codec.fake_ocr(px))
             oks.append(True)
         except Exception:
             ws.append(None)
             hs.append(None)
             ph.append(None)
             ps.append(None)
+            ocr.append(None)
             oks.append(False)
     return pd.DataFrame(
         {
@@ -67,5 +71,6 @@ def decode_image_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
             "phash": pd.array(ph, dtype="Int64"),
             "ok": oks,
             "psnr_db": pd.array(ps, dtype="float64"),
+            "ocr_text": ocr,
         }
     )

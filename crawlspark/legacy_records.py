@@ -90,10 +90,12 @@ def to_legacy_records(spark: SparkSession, cat: Catalog) -> DataFrame:
         )
     )
     if images is not None:
+        # content = OCR text (legacy image records carry ocr_text,
+        # src/models/models.py:34,47-49)
         recs = recs.unionByName(
             _base(
                 images, F.lit("image"), F.col("url"), F.col("caption"),
-                null_s, F.lit(False), empty_fmts, F.col("img_idx"),
+                F.col("ocr_text"), F.lit(False), empty_fmts, F.col("img_idx"),
             )
         )
 

@@ -305,6 +305,8 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
                         "fmt": fmt,
                         "caption": title,
                         "phash": codec.phash64(pixels),
+                        # OCR stand-in (legacy:322-330 analog)
+                        "ocr_text": codec.fake_ocr(pixels),
                     }
                 )
                 stats["files_processed"] += 1

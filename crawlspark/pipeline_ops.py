@@ -681,3 +681,61 @@ def multimodal_binary_meta(spark, sf_dir):
         F.octet_length(b).alias("n_bytes"),
         F.sha2(b, 256).alias("content_sha"),
     )
+
+
+# no oracle_sql: encode/decode/resize run the repo's deterministic codec
+# stand-ins — not SQL-expressible; the driver records a rows-only check
+@register("multimodal_decode_resize")
+def multimodal_decode_resize(spark, sf_dir):
+    """Full multimodal binary pipeline over mapInPandas: synthesize an image
+    per document (encode stage stand-in — real decode libs are absent from
+    this container, crawlspark.codec documents the stubbing), then decode →
+    feature-extract (w, h, phash) → 2x2 mean-pool resize → thumbnail phash,
+    all inside ONE Arrow-batched stage so bytes never cross a shuffle.
+    Frame-sampling for video maps onto the same shape (every k-th block).
+
+    Scale notes: partition count governs batch memory (bytes stay within
+    the Python worker); only (doc_id, ints) columns leave the stage."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from crawlspark import codec
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def pipe(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                fmt = "png" if did % 2 == 0 else "jpeg"
+                px = codec.synth_pixels(f"doc{did}", 16, 16)
+                data = codec.encode_image(px, fmt)  # fetch/encode stand-in
+                dec = codec.decode_image(data, fmt)  # decode stage
+                thumb = (
+                    dec.reshape(8, 2, 8, 2, 3).mean(axis=(1, 3)).astype("uint8")
+                )  # resize: 2x2 mean-pool
+                out.append(
+                    (
+                        int(did),
+                        len(data),
+                        dec.shape[1],
+                        dec.shape[0],
+                        fmt,
+                        codec.phash64(dec),
+                        codec.phash64(thumb),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_bytes", "w", "h", "fmt", "phash",
+                    "thumb_phash",
+                ],
+            )
+
+    return d.mapInPandas(
+        pipe,
+        schema=(
+            "doc_id long, n_bytes int, w int, h int, fmt string, "
+            "phash long, thumb_phash long"
+        ),
+    )

@@ -118,6 +118,8 @@ IMAGES = T.StructType(
         T.StructField("fmt", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
+        # OCR stand-in text per image (legacy OCR stage analog)
+        T.StructField("ocr_text", T.StringType(), True),
         # provenance / deterministic-order columns
         T.StructField("post_id", T.StringType(), True),
         T.StructField("url", T.StringType(), True),

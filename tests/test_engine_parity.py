@@ -97,6 +97,7 @@ def test_images_match_and_psnr(engine, golden):
         assert r["fmt"] == g["fmt"]
         assert r["caption"] == g["caption"], r["image_id"]
         assert r["phash"] == g["phash"], r["image_id"]
+        assert r["ocr_text"] == g["ocr_text"], r["image_id"]
         assert bytes(r["bytes"]) == g["bytes"]
         # decoded-pixel invariant vs ground-truth pixels (BASELINE input_hint)
         truth_px = codec.synth_pixels(r["url"], g["w"], g["h"])
