@@ -29,10 +29,18 @@ def _spark(args):
 
 
 def cmd_crawl(args) -> int:
+    from crawlspark.config import EngineConfig
     from crawlspark.driver import crawl
     from crawlspark.fixtures import SiteSpec, build_site, page_store_rows
     from crawlspark.schema import PAGE_STORE
 
+    # layered config (defaults <- INI <- env, config.py analog); explicit
+    # CLI flags override it
+    cfg = EngineConfig.load(args.config) if args.config else EngineConfig.load()
+    pages_per_wave = (
+        args.pages_per_wave if args.pages_per_wave is not None
+        else cfg.pages_per_wave
+    )
     spark = _spark(args)
     spec = SiteSpec(pages=args.pages, posts_per_page=args.posts_per_page,
                     seed=args.seed)
@@ -44,7 +52,9 @@ def cmd_crawl(args) -> int:
         spec.base_url,
         args.workdir,
         pages=spec.pages,
-        pages_per_wave=args.pages_per_wave,
+        pages_per_wave=pages_per_wave,
+        image_keep_bytes=cfg.image_keep_bytes,
+        listing_source=cfg.listing_source,
     )
     print(json.dumps({"stats": result.stats,
                       "virtual_seconds": result.virtual_seconds,
@@ -60,7 +70,7 @@ def cmd_status(args) -> int:
     cat = Catalog(args.workdir)
     out: dict = {"workdir": args.workdir, "tables": {}}
     for t in ("posts", "images", "seen", "crawl_order", "lineage",
-              "checkpoints", "metrics"):
+              "checkpoints", "metrics", "errors", "frontier", "politeness"):
         df = cat.read(spark, t)
         out["tables"][t] = {
             "rows": df.count() if df is not None else 0,
@@ -89,7 +99,8 @@ def cmd_reset(args) -> int:
 
     cat = Catalog(args.workdir)
     for t in ("posts", "images", "seen", "crawl_order", "lineage",
-              "checkpoints", "metrics", "robots"):
+              "checkpoints", "metrics", "robots", "errors", "frontier",
+              "politeness"):
         cat.drop(t)
     print(f"reset: cleared state under {args.workdir}")
     return 0
@@ -140,8 +151,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--workdir", required=True)
     c.add_argument("--pages", type=int, default=3)
     c.add_argument("--posts-per-page", type=int, default=10)
-    c.add_argument("--pages-per-wave", type=int, default=0)
+    c.add_argument("--pages-per-wave", type=int, default=None)
     c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--config", default=None, help="INI file ([crawlspark])")
     c.set_defaults(fn=cmd_crawl)
 
     s = sub.add_parser("status", help="show state-table stats")
