@@ -171,8 +171,12 @@ def dedup_minhash_signatures(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH candidate pairs: band signatures -> bucket self-join.
-    Shuffles only (band_id, bucket, doc_id); never O(n^2)."""
+    """MinHash+LSH candidate pairs: band signatures -> bucket grouping ->
+    in-bucket pair generation. One pass over the signature pipeline (a
+    bucket SELF-JOIN would recompute the whole shingle+minhash lineage for
+    each side), one shuffle on (band_id, bucket), pairs generated inside
+    the grouped array with higher-order functions — never O(n^2) across
+    the corpus; per-bucket fan-out is the LSH guarantee (near-dups only)."""
     sigs = dedup_minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -189,17 +193,20 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
             "band_id", "bucket"
         ),
     )
-    pairs = (
-        expl.alias("a")
-        .join(
-            expl.alias("c"),
-            (F.col("a.band_id") == F.col("c.band_id"))
-            & (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
+    grouped = (
+        expl.groupBy("band_id", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b").distinct()
     return pairs
 
 

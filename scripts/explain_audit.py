@@ -49,6 +49,19 @@ CHECKS = {
     },
     "dedup_minhash_lsh_pairs": {
         "NoCartesian": r"^(?!.*CartesianProduct)",
+        # pair generation is in-bucket (grouped array HOFs) — a bucket
+        # self-join would recompute the signature lineage twice
+        "NoJoin": r"^(?!.*Join)",
+        "PartialAgg": r"HashAggregate",
+    },
+    "p15_proximity_window": {
+        "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
+        "Codegen": r"WholeStageCodegen",
+    },
+    "multimodal_decode_resize": {
+        # column pruning must reach through mapInPandas: only doc_id is read
+        "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
+        "ArrowStage": r"MapInPandas",
     },
 }
 
