@@ -469,6 +469,53 @@ def j3_ordered_link_merge(spark, sf_dir):
 
 
 @register(
+    "j4_lineage_reconstruct",
+    """
+    SELECT r_name AS root, n_name AS parent, count(c_custkey) AS n_leaves
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j4_lineage_reconstruct(spark, sf_dir):
+    """J4 lineage edges (SURVEY §2.3): parent->child provenance chain
+    reconstructed by inner joins (engine: the `lineage` table joins
+    listing->post->image; here region->nation->customer). Both dims
+    broadcast — no big-side shuffle."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("root"), F.col("n_name").alias("parent"))
+        .agg(F.count("c_custkey").alias("n_leaves"))
+    )
+
+
+@register(
+    "w4_sorted_batch_write",
+    """
+    SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS write_seq
+    FROM orders WHERE o_custkey % 100 = 0
+    """,
+)
+def w4_sorted_batch_write(spark, sf_dir):
+    """W4 sorted batch write (storage.py:53,65): the emitted batch carries
+    its total order as a column (write_seq) so the order itself is value-
+    checked — the hash compare is order-insensitive otherwise. Single-
+    partition window is intentional: it IS the sorted-emission semantics,
+    applied to an already-reduced batch (filtered here), never to the
+    full corpus."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey", F.row_number().over(w).alias("write_seq")
+    )
+
+
+@register(
     "a1_run_statistics",
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
