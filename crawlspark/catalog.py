@@ -99,10 +99,24 @@ class Catalog:
     ) -> str:
         """Append = union with current snapshot, commit as next snapshot.
 
+        Wave-idempotent: if ``meta['wave']`` is already recorded in this
+        table's commit log (by a VISIBLE snapshot — orphan log entries past
+        the current pointer don't count), the append is a no-op. A run
+        killed mid-wave (after some table commits, before the checkpoint
+        marker) replays the wave without duplicating rows in append-only
+        tables — the Iceberg analog is committing all wave writes in one
+        multi-table transaction.
+
         (With real Iceberg this is a fast appendFiles; here the union is
         lazy and parquet rewrite cost is bounded by table size — fine at
         sandbox scale, and the interface is what matters.)
         """
+        wave = (meta or {}).get("wave")
+        if wave is not None:
+            cur_ver = self.version(table)
+            for e in self.log(table):
+                if e.get("wave") == wave and e.get("version", 0) <= cur_ver:
+                    return self.current_snapshot(table)  # replay: no-op
         cur = self.read(spark, table)
         out = df if cur is None else cur.unionByName(df)
         return self.commit(out, table, meta, partition_by)

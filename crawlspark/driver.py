@@ -112,10 +112,10 @@ def crawl(
     if seen_df is not None:
         bloom.add_urls(seen_df)
 
-    done_waves = set()
-    cp = cat.read(spark, "checkpoints")
-    if cp is not None:
-        done_waves = {r["wave"] for r in cp.select("wave").distinct().collect()}
+    # a wave is complete iff its checkpoint COMMIT exists — the log entry,
+    # not table rows: a replayed wave legitimately checkpoints zero rows
+    # (everything already in `seen`), and rows would miss it
+    done_waves = {e["wave"] for e in cat.log("checkpoints") if "wave" in e}
     # restore politeness bucket state from the last committed metrics meta
     bucket = _BucketState()
     mlog = cat.log("metrics")

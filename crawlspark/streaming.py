@@ -52,11 +52,9 @@ def stream_crawl(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         wave = batch_id + 1
         cat = Catalog(workdir)
-        cp = cat.read(spark, "checkpoints")
-        if cp is not None:
-            done = {r["wave"] for r in cp.select("wave").distinct().collect()}
-            if wave in done:
-                return  # foreachBatch retry of a committed wave — no-op
+        done = {e["wave"] for e in cat.log("checkpoints") if "wave" in e}
+        if wave in done:
+            return  # foreachBatch retry of a committed wave — no-op
         pages = sorted({r["page"] for r in batch_df.select("page").collect()})
         if not pages:
             return
