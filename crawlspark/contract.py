@@ -520,8 +520,10 @@ def w4_sorted_batch_write(spark, sf_dir):
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            count(*) AS orders_total,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
-           sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS finished,
+           CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS big,
            round(sum(o_totalprice), 2) AS revenue
     FROM orders GROUP BY 1
     """,
@@ -752,8 +754,9 @@ def so3_frontier_minus_seen(spark, sf_dir):
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
