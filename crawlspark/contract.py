@@ -254,13 +254,14 @@ def p20_session_expiry(spark, sf_dir):
     "p10_ext_infer",
     """
     SELECT url,
-           CASE WHEN lower(regexp_extract(
-                       string_split(string_split(url, '/')[-1], '?')[1],
-                       '\\.([A-Za-z0-9]+)$', 1))
+           CASE WHEN contains(string_split(url, '/')[-1], '.')
+                 AND lower(string_split(
+                       string_split(string_split(url, '/')[-1], '.')[-1],
+                       '?')[1])
                      IN ('png','jpeg','jpg','gif','webp')
-                THEN lower(regexp_extract(
-                       string_split(string_split(url, '/')[-1], '?')[1],
-                       '\\.([A-Za-z0-9]+)$', 1))
+                THEN string_split(
+                       string_split(string_split(url, '/')[-1], '.')[-1],
+                       '?')[1]
                 ELSE 'jpg' END AS ext
     FROM (
       SELECT concat('https://cdn.example.com/p/', p_partkey, '.',

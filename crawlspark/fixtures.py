@@ -155,11 +155,16 @@ def _make_post(spec: SiteSpec, page: int, pos: int, pid: int) -> PostTruth:
     for i in range(n_img):
         fmt = rng.choice(codec.ALL_FMTS)
         host = rng.choices(IMG_HOSTS, weights=IMG_HOST_WEIGHTS, k=1)[0]
+        # pin infer_ext edge semantics (crawler.py:576-580): some URLs carry
+        # uppercase extensions (case must be preserved) or query strings
+        # (stripped AFTER the last-dot split)
+        ext = fmt.upper() if rng.random() < 0.15 else fmt
+        query = f"?v={rng.randrange(1, 4)}" if rng.random() < 0.2 else ""
         if rng.random() < 0.5:
-            src = f"https://{host}/img/p{post_id}_{i}.{fmt}"
+            src = f"https://{host}/img/p{post_id}_{i}.{ext}{query}"
             absolute = src
         else:
-            src = f"/img/p{post_id}_{i}.{fmt}"
+            src = f"/img/p{post_id}_{i}.{ext}{query}"
             absolute = f"{spec.base_url}{src}"
         srcs.append(src)
         if absolute not in expected:
@@ -333,10 +338,14 @@ def render_post_html(site: Site, truth: PostTruth) -> str:
 
 
 def image_fmt_of(url: str) -> str:
-    """Extension inference mirroring crawler.py:576-580."""
-    last = url.rsplit("/", 1)[-1].split("?")[0]
-    ext = last.rsplit(".", 1)[-1].lower() if "." in last else ""
-    return ext if ext in {"png", "jpeg", "jpg", "gif", "webp"} else "jpg"
+    """Extension inference mirroring crawler.py:576-580 exactly: last dot of
+    the full final segment, THEN strip after '?', original case preserved."""
+    last = url.rsplit("/", 1)[-1]
+    if "." in last:
+        possible = last.rsplit(".", 1)[-1].split("?")[0]
+        if possible.lower() in {"png", "jpeg", "jpg", "gif", "webp"}:
+            return possible
+    return "jpg"
 
 
 def image_payload(url: str, w: int = 32, h: int = 32) -> bytes:

@@ -115,13 +115,18 @@ def image_urls_per_post(posts: DataFrame, base_url: str) -> DataFrame:
 
 
 def infer_ext(url: Column) -> Column:
-    """P10 (crawler.py:576-580): suffix if in the image set, else jpg."""
+    """P10 (crawler.py:576-580): extension from the LAST dot of the full
+    final path segment, query stripped AFTER the dot split, original case
+    preserved — the reference's exact order of operations
+    (`split('/')[-1].split('.')[-1].split('?')[0]`), so 'a.PNG' -> 'PNG',
+    'a?b.png' -> 'png', and 'a.png?v=2.1' -> 'jpg' (the last dot wins)."""
     last = F.element_at(F.split(url, "/"), -1)
-    noq = F.substring_index(last, "?", 1)
-    ext = F.lower(F.regexp_extract(noq, r"\.([A-Za-z0-9]+)$", 1))
-    return F.when(ext.isin("png", "jpeg", "jpg", "gif", "webp"), ext).otherwise(
-        F.lit("jpg")
-    )
+    possible = F.substring_index(F.substring_index(last, ".", -1), "?", 1)
+    return F.when(
+        last.contains(".")
+        & F.lower(possible).isin("png", "jpeg", "jpg", "gif", "webp"),
+        possible,
+    ).otherwise(F.lit("jpg"))
 
 
 # ------------------------------------------------- P11-P19: download detect

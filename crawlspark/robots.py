@@ -20,7 +20,7 @@ broadcast is the right strategy and the filter never shuffles the frontier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawlspark.canonical import host_of
@@ -59,20 +59,23 @@ def filter_allowed(candidates: DataFrame, robots: DataFrame | None) -> DataFrame
         "",
     )
     cand = cand.withColumn("__path", F.when(path == "", "/").otherwise(path))
-    r = robots.select(
-        F.col("host").alias("__host"),
-        F.col("rule").alias("__rule"),
-        F.col("allow").alias("__allow"),
+    # One row per host carrying ALL its rules as an array: the longest-match
+    # resolution then happens row-locally via HOFs, so the frontier is never
+    # shuffled (the old per-url window shuffled everything AND collapsed
+    # duplicate URL occurrences within a wave to one arbitrary row).
+    # Struct field order (len, allow, rule) makes array_max pick the longest
+    # matching rule, allow=true winning exact (len, rule) ties.
+    rules = robots.groupBy(F.col("host").alias("__host")).agg(
+        F.collect_list(
+            F.struct(
+                F.length("rule").alias("len"),
+                F.col("allow").alias("allow"),
+                F.col("rule").alias("rule"),
+            )
+        ).alias("__rules")
     )
-    j = cand.join(F.broadcast(r), "__host", "left")
-    j = j.withColumn(
-        "__matches", F.col("__rule").isNotNull() & F.col("__path").startswith(F.col("__rule"))
-    )
-    # longest matching rule wins; no matching rule => allowed
-    w = Window.partitionBy("url").orderBy(
-        F.when(F.col("__matches"), F.length("__rule")).otherwise(-1).desc(),
-        F.col("__allow").desc(),
-    )
-    j = j.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    allowed = j.filter(~F.col("__matches") | F.col("__allow"))
-    return allowed.drop("__host", "__path", "__rule", "__allow", "__matches", "__rn")
+    j = cand.join(F.broadcast(rules), "__host", "left")
+    best = F.array_max(F.expr("filter(__rules, r -> startswith(__path, r.rule))"))
+    # no rules for host / no matching rule => allowed
+    allowed = j.filter(F.coalesce(best["allow"], F.lit(True)))
+    return allowed.drop("__host", "__path", "__rules")

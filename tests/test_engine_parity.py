@@ -103,7 +103,7 @@ def test_images_match_and_psnr(engine, golden):
         truth_px = codec.synth_pixels(r["url"], g["w"], g["h"])
         dec = codec.decode_image(bytes(r["bytes"]), r["fmt"])
         p = codec.psnr(truth_px, dec)
-        if r["fmt"] in codec.LOSSY_FMTS:
+        if r["fmt"].lower() in codec.LOSSY_FMTS:
             assert p >= 40.0, (r["image_id"], p)
         else:
             assert p == float("inf"), (r["image_id"], p)

@@ -33,12 +33,15 @@ def test_infer_ext_cases(spark):
     """P10 (crawler.py:576-580): known image suffixes, else jpg."""
     cases = [
         ("https://x/a.png", "png"),
-        ("https://x/a.JPEG", "jpeg"),
+        ("https://x/a.JPEG", "JPEG"),  # case preserved (crawler.py:578-580)
         ("https://x/a.webp?v=1", "webp"),
         ("https://x/a.gif", "gif"),
         ("https://x/a.svg", "jpg"),  # not in the image set -> default
         ("https://x/a", "jpg"),
         ("https://x/a.bin", "jpg"),
+        ("https://x/a?b.png", "png"),  # query split AFTER the dot split
+        ("https://x/a.png?v=2.1", "jpg"),  # LAST dot wins -> '1' not in set
+        ("https://x/a.PNG", "PNG"),
     ]
     df = spark.createDataFrame(cases, "url string, expect string")
     for r in df.withColumn("ext", ops.infer_ext(F.col("url"))).collect():

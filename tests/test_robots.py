@@ -54,6 +54,34 @@ def test_filter_allowed_longest_prefix(spark):
     }
 
 
+def test_filter_allowed_keeps_duplicate_occurrences(spark):
+    """Duplicate URL occurrences within a wave band (cross-page dups) must
+    ALL survive robots filtering, preserving (page, link_pos) identity — the
+    old per-url window collapsed them to one arbitrary row, corrupting crawl
+    order before first_occurrence could pick the structurally-first one."""
+    robots = spark.createDataFrame(
+        [("h.example.com", "/private", False, 0)], ROBOTS_SCHEMA
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://h.example.com/post/1", 1, 0),
+            ("https://h.example.com/post/1", 1, 3),  # same url, same page
+            ("https://h.example.com/post/1", 2, 1),  # same url, other page
+            ("https://h.example.com/private/x", 1, 2),
+        ],
+        "url string, page int, link_pos int",
+    )
+    got = sorted(
+        (r["url"], r["page"], r["link_pos"])
+        for r in filter_allowed(cand, robots).collect()
+    )
+    assert got == [
+        ("https://h.example.com/post/1", 1, 0),
+        ("https://h.example.com/post/1", 1, 3),
+        ("https://h.example.com/post/1", 2, 1),
+    ]
+
+
 def test_driver_respects_robots(spark, tmp_path):
     """A disallow rule for /community blocks every post fetch: zero posts,
     zero seen entries — disallowed URLs are never visited NOR marked seen."""
