@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -106,38 +107,70 @@ def cmd_reset(args) -> int:
     return 0
 
 
-def cmd_export(args) -> int:
+def export_posts(spark, workdir: str, out: str) -> int | None:
     """Export posts in the reference JSONL record shape, sorted by post_id
-    (storage.py:53,65-82 field order)."""
+    (storage.py:53,65-82 field order). Returns the record count, or None if
+    the posts table doesn't exist.
+
+    Serializes executor-side: to_json over the record struct keeps the
+    whole table off the driver (the old collect() loop pulled every post
+    row through driver memory). Sorted single file only because the
+    reference's JSONL is one sorted file — the repartition(1) is the
+    explicit cost of that contract, not an accident."""
     from crawlspark.catalog import Catalog
 
-    spark = _spark(args)
-    cat = Catalog(args.workdir)
+    cat = Catalog(workdir)
     df = cat.read(spark, "posts")
     if df is None:
+        return None
+    rec = F.struct(
+        F.col("url"),
+        F.struct(
+            F.col("meta.title").alias("title"),
+            F.col("meta.author").alias("author"),
+            F.col("meta.date").alias("date"),
+        ).alias("meta"),
+        F.col("body"),
+        F.col("parsed_content"),
+        F.col("file_sources"),
+        F.col("crawl_timestamp"),
+        F.col("post_id"),
+        F.col("_download_summary"),
+        F.col("has_download"),
+        F.col("file_formats"),
+    )
+    n = df.count()
+    lines = (
+        df.select(
+            F.col("post_id"),
+            # keep nulls explicit like the old json.dumps record shape
+            F.to_json(rec, {"ignoreNullFields": "false"}).alias("line"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("post_id")
+        .select("line")
+    )
+    tmp_dir = out + ".spark_tmp"
+    lines.write.mode("overwrite").text(tmp_dir)
+    import glob
+    import shutil
+
+    parts = sorted(glob.glob(os.path.join(tmp_dir, "part-*")))
+    with open(out, "wb") as out_f:
+        for p in parts:
+            with open(p, "rb") as in_f:
+                shutil.copyfileobj(in_f, out_f)
+    shutil.rmtree(tmp_dir)
+    return n
+
+
+def cmd_export(args) -> int:
+    spark = _spark(args)
+    n = export_posts(spark, args.workdir, args.out)
+    if n is None:
         print("no posts table", file=sys.stderr)
         return 1
-    rows = df.orderBy("post_id").collect()
-    with open(args.out, "w", encoding="utf-8") as f:
-        for r in rows:
-            rec = {
-                "url": r["url"],
-                "meta": {
-                    "title": r["meta"]["title"],
-                    "author": r["meta"]["author"],
-                    "date": r["meta"]["date"],
-                },
-                "body": r["body"],
-                "parsed_content": r["parsed_content"],
-                "file_sources": list(r["file_sources"]),
-                "crawl_timestamp": r["crawl_timestamp"],
-                "post_id": r["post_id"],
-                "_download_summary": r["_download_summary"],
-                "has_download": r["has_download"],
-                "file_formats": list(r["file_formats"]),
-            }
-            f.write(json.dumps(rec, ensure_ascii=False) + "\n")
-    print(f"exported {len(rows)} records to {args.out}")
+    print(f"exported {n} records to {args.out}")
     spark.stop()
     return 0
 

@@ -671,13 +671,17 @@ def w1_image_index_enumeration(spark, sf_dir):
 )
 def w2_global_crawl_order(spark, sf_dir):
     """W2 deterministic global priority order (crawler.py:650-726): total
-    order by structural key, first 100."""
+    order by structural key, first 100. orderBy+limit FIRST so the plan is
+    TakeOrderedAndProject (per-partition top-100 + driver merge of 100-row
+    heads) — the single-partition window then runs over 100 rows, never the
+    full corpus (at 100x scale a global window over everything is a
+    one-task sort of the whole table)."""
     o = _t(spark, sf_dir, "orders")
+    top = o.select("o_orderdate", "o_orderkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).limit(100)
     w = Window.orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.select(F.row_number().over(w).alias("seq"), "o_orderkey")
-        .filter("seq <= 100")
-    )
+    return top.select(F.row_number().over(w).alias("seq"), "o_orderkey")
 
 
 @register(

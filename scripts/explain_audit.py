@@ -54,6 +54,13 @@ CHECKS = {
         "NoJoin": r"^(?!.*Join)",
         "PartialAgg": r"HashAggregate",
     },
+    "w2_global_crawl_order": {
+        # top-100 must be TakeOrderedAndProject (per-partition heap + driver
+        # merge), never a global one-task sort of the whole table; the
+        # single-partition row_number window then sees only 100 rows
+        "TopK": r"TakeOrderedAndProject",
+        "PrunedSchema": r"ReadSchema:[^\n]*o_orderdate",
+    },
     "p15_proximity_window": {
         "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
         "Codegen": r"WholeStageCodegen",
