@@ -148,10 +148,9 @@ def dedup_minhash_signatures(spark, sf_dir):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    f"""
-    WITH sigs AS (
+# shared LSH candidate-pair CTE chain — dedup_ngram_jaccard's oracle chains
+# the SAME candidate set so both sides verify the lsh->confirm pipeline
+_LSH_CAND_CTES = f"""sigs AS (
       SELECT doc_id,
 {_MINHASH_AGGS_SQL}
       FROM (SELECT doc_id, unnest(shingles) AS sh FROM ({_SHINGLE_SQL}))
@@ -164,10 +163,18 @@ def dedup_minhash_signatures(spark, sf_dir):
       SELECT doc_id, b.band_id,
              CASE b.band_id {" ".join(f"WHEN {b} THEN band{b}" for b in range(LSH_BANDS))} END AS bucket
       FROM buckets, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band_id) b
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-    FROM expl a JOIN expl c
-      ON a.band_id = c.band_id AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM expl a JOIN expl c
+        ON a.band_id = c.band_id AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_LSH_CAND_CTES}
+    SELECT doc_a, doc_b FROM cand
     """,
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
@@ -242,85 +249,100 @@ def dedup_simhash(spark, sf_dir):
     """SimHash-64 per doc over distinct whitespace tokens: per-bit +1/-1
     votes from md5(token) bits, sign-aggregated into a 64-char bit string.
 
-    Spark side stays JVM-built-in: conv(hex,16,2) expands nibbles, explode
-    sequence(0,63) generates bit positions, one groupBy(doc_id, bit) sums
-    votes, one groupBy(doc_id) reassembles — no UDF."""
+    Entirely ROW-LOCAL — zero shuffle, zero explode: per document, hash the
+    distinct tokens into an array, then one HOF `aggregate` folds the token
+    hashes into a 64-int vote vector (zip_with against sequence(0,63)),
+    and the sign projection emits the bit string. The previous version
+    exploded tokens x 64 bit rows (64x row inflation through TWO groupBy
+    shuffles); at 100 TB that intermediate dwarfs the corpus, while this
+    plan's only data movement is the scan itself."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
-    ).withColumn("h", F.md5("tok"))
-    bits = toks.select(
+    hs = F.transform(
+        F.array_distinct(F.split("text", r"\s+")), lambda t: F.md5(t)
+    )
+    votes = F.expr(
+        """
+        aggregate(
+          __hs,
+          array_repeat(0, 64),
+          (acc, h) -> zip_with(
+            acc, sequence(0, 63),
+            (a, i) -> a + if(
+              substr(lpad(conv(substr(h, cast(i div 4 as int) + 1, 1), 16, 2),
+                          4, '0'),
+                     cast(i % 4 as int) + 1, 1) = '1', 1, -1))
+        )
+        """
+    )
+    return d.select("doc_id", hs.alias("__hs")).select(
         "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit_i"),
-    )
-    nib = F.substring(
-        F.col("h"), (F.col("bit_i") / 4).cast("int") + 1, 1
-    )
-    nib_bits = F.lpad(F.conv(nib, 16, 2), 4, "0")
-    bit_val = F.substring(nib_bits, (F.col("bit_i") % 4).cast("int") + 1, 1)
-    votes = bits.select(
-        "doc_id", "bit_i", F.when(bit_val == "1", 1).otherwise(-1).alias("v")
-    ).groupBy("doc_id", "bit_i").agg(F.sum("v").alias("votes"))
-    return votes.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("bit_i", "votes"))),
-                lambda s: F.when(s["votes"] >= 0, "1").otherwise("0"),
+                votes, lambda v: F.when(v >= 0, "1").otherwise("0")
             ),
             "",
-        ).alias("simhash_bits")
+        ).alias("simhash_bits"),
     )
 
 
 @register(
     "dedup_ngram_jaccard",
-    """
-    WITH sh AS (
+    f"""
+    WITH {_LSH_CAND_CTES},
+    sets AS (
       SELECT doc_id,
              list_distinct(string_split_regex(text, '\\s+')) AS sset
       FROM documents
     ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.sset, b.sset)) AS inter,
-             len(a.sset) + len(b.sset)
-               - len(list_intersect(a.sset, b.sset)) AS uni
-      FROM sh a JOIN sh b
-        ON a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50
+      SELECT cand.doc_a, cand.doc_b,
+             len(list_intersect(sa.sset, sb.sset)) AS inter,
+             len(sa.sset) + len(sb.sset)
+               - len(list_intersect(sa.sset, sb.sset)) AS uni
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.doc_a
+      JOIN sets sb ON sb.doc_id = cand.doc_b
     )
     SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
     FROM pairs WHERE uni > 0 AND round(inter * 1.0 / uni, 4) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Word-set (1-gram) Jaccard near-dup over blocked candidate pairs
-    (block = doc_id % 50 stands in for an LSH bucket to bound the pair
-    count; the real scale path chains dedup_minhash_lsh_pairs -> this
-    exact verifier). Unigram sets because the synthetic corpus shares
-    vocabulary but not 3-gram sequences."""
+    """Word-set (1-gram) Jaccard verify over the MinHash-LSH candidate set:
+    dedup_minhash_lsh_pairs proposes, exact set-Jaccard confirms (>= 0.5).
+    The pair count therefore scales with near-dup DENSITY (the LSH
+    guarantee), never N^2/blocks — the oracle chains the identical
+    candidate CTE so both sides verify the full lsh->confirm pipeline.
+    Unigram sets because the synthetic corpus shares vocabulary but not
+    3-gram sequences."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split("text", r"\s+")
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(words).alias("sset"),
-        (F.col("doc_id") % 50).alias("blk"),
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sets = d.select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("sset")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("a.blk") == F.col("b.blk")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.size(F.array_intersect("a.sset", "b.sset")).alias("inter"),
-        (
-            F.size("a.sset") + F.size("b.sset")
-            - F.size(F.array_intersect("a.sset", "b.sset"))
-        ).alias("uni"),
+    pairs = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            (
+                F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+            ).alias("uni"),
+        )
     )
-    return pairs.filter("uni > 0").withColumn(
-        "jaccard", F.round(F.col("inter") / F.col("uni"), 4)
-    ).filter("jaccard >= 0.5").select("doc_a", "doc_b", "jaccard")
+    return (
+        pairs.filter("uni > 0")
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 4))
+        .filter("jaccard >= 0.5")
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 @register(

@@ -47,6 +47,13 @@ CHECKS = {
     "ann_cosine_topk": {
         "BroadcastQuerySide": r"BroadcastNestedLoopJoin|BroadcastHashJoin",
     },
+    "dedup_simhash": {
+        # row-local HOF fold: the ONLY data movement is the scan — no
+        # Exchange anywhere in the plan (the old version shuffled
+        # tokens x 64 bit rows through two groupBys)
+        "NoShuffle": r"^(?!.*Exchange)",
+        "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
+    },
     "dedup_minhash_lsh_pairs": {
         "NoCartesian": r"^(?!.*CartesianProduct)",
         # pair generation is in-bucket (grouped array HOFs) — a bucket
