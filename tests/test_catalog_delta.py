@@ -1,0 +1,94 @@
+"""Delta-manifest catalog commits: append must write O(delta) bytes (a new
+data dir only — never a rewrite of history), reads union the manifest's
+dirs, empty partitioned deltas stay readable, compaction folds dirs."""
+
+from __future__ import annotations
+
+import os
+
+from crawlspark.catalog import Catalog
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_append_writes_only_delta(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    big = spark.range(20000).selectExpr("id AS k", "repeat('x', 64) AS v")
+    cat.commit(big, "t", meta={"wave": 1})
+    [d1] = cat.data_dirs("t")
+    size1 = _du(d1)
+    files1 = {
+        os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+        for r, _ds, fs in os.walk(d1)
+        for f in fs
+    }
+
+    small = spark.range(10).selectExpr("id + 100000 AS k", "'y' AS v")
+    cat.append(spark, small, "t", meta={"wave": 2})
+
+    dirs = cat.data_dirs("t")
+    assert dirs[0] == d1 and len(dirs) == 2, "append must reuse prior dirs"
+    delta_size = _du(dirs[1])
+    assert delta_size < size1 / 10, (
+        f"append wrote {delta_size}B for a 10-row delta vs {size1}B table"
+    )
+    # history untouched byte-for-byte
+    files_after = {
+        os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+        for r, _ds, fs in os.walk(d1)
+        for f in fs
+    }
+    assert files_after == files1
+    assert cat.read(spark, "t").count() == 20010
+
+
+def test_empty_partitioned_delta_stays_readable(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame([(1, "a", 0)], "k int, v string, hb int")
+    cat.append(spark, df, "t", partition_by=["hb"], meta={"wave": 1})
+    empty = spark.createDataFrame([], "k int, v string, hb int")
+    cat.append(spark, empty, "t", partition_by=["hb"], meta={"wave": 2})
+    got = cat.read(spark, "t")
+    assert got.count() == 1
+    assert set(got.columns) == {"k", "v", "hb"}
+
+
+def test_all_empty_table_reads_schema_from_manifest(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    empty = spark.createDataFrame([], "k int, v string, hb int")
+    cat.append(spark, empty, "errors", partition_by=["hb"], meta={"wave": 1})
+    got = cat.read(spark, "errors")
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "v", "hb"}
+
+
+def test_compact_folds_dirs_without_changing_contents(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    for w in range(1, 4):
+        df = spark.range(w * 10, w * 10 + 5).selectExpr("id AS k")
+        cat.append(spark, df, "t", meta={"wave": w})
+    assert len(cat.data_dirs("t")) == 3
+    before = sorted(r["k"] for r in cat.read(spark, "t").collect())
+    cat.compact(spark, "t")
+    assert len(cat.data_dirs("t")) == 1
+    after = sorted(r["k"] for r in cat.read(spark, "t").collect())
+    assert after == before
+
+
+def test_partitioned_deltas_union_with_partition_columns(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    d1 = spark.createDataFrame([(1, "a", 0), (2, "b", 1)], "k int, v string, hb int")
+    d2 = spark.createDataFrame([(3, "c", 0)], "k int, v string, hb int")
+    cat.append(spark, d1, "t", partition_by=["hb"], meta={"wave": 1})
+    cat.append(spark, d2, "t", partition_by=["hb"], meta={"wave": 2})
+    rows = {(r["k"], r["hb"]) for r in cat.read(spark, "t").collect()}
+    assert rows == {(1, 0), (2, 1), (3, 0)}
+    # latest data dir carries the physical partition layout
+    snap = cat.current_snapshot("t")
+    assert any(n.startswith("hb=") for n in os.listdir(snap))
