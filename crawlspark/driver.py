@@ -20,6 +20,8 @@ from __future__ import annotations
 import uuid
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -34,6 +36,7 @@ from crawlspark.politeness import (
     RATE_LIMIT_REQUESTS,
     RETRY_DELAY,
     schedule,
+    schedule_numpy,
 )
 from crawlspark.robots import filter_allowed
 from crawlspark.seen import BloomSeen
@@ -361,7 +364,22 @@ def _run_wave(
             F.lit(False).alias("alive"), F.lit(False).alias("kept"),
         )
     )
-    vsec = _virtual_seconds(events, imgs, page_band, bucket)
+    # crash-replay guard: if this wave's metrics commit is already durable
+    # (mid-wave crash AFTER metrics, BEFORE checkpoint), its politeness
+    # accounting happened — re-running the recurrence over the replay's
+    # empty link set would pollute the cross-wave bucket with phantom
+    # listing tokens. Restore the bucket exactly as persisted instead.
+    replayed_meta = None
+    cur_mver = cat.version("metrics")
+    for e in cat.log("metrics"):
+        if e.get("wave") == wave and e.get("version", 0) <= cur_mver:
+            replayed_meta = e
+    if replayed_meta is not None:
+        bucket.times = list(replayed_meta.get("bucket_times") or [])
+        bucket.now = float(replayed_meta.get("bucket_now", 0.0))
+        vsec = 0.0  # authoritative totals come from the metrics table
+    else:
+        vsec = _virtual_seconds(spark, events, imgs, page_band, bucket)
 
     # ---- commits (snapshot catalog; one pointer swap per table)
     order_rows = links.select(
@@ -604,42 +622,108 @@ def _band_links(
     return api_links.unionByName(render_links), len(api_pages) + n_render
 
 
+_VSEC_SUB_POST = 500_000  # order slot: attempts 1..3 < post < images
+
+
 def _virtual_seconds(
-    events: DataFrame, imgs: DataFrame, page_band: list[int], bucket: _BucketState
+    spark: SparkSession,
+    events: DataFrame,
+    imgs: DataFrame,
+    page_band: list[int],
+    bucket: _BucketState,
 ) -> float:
-    """Reproduce the oracle's TokenBucket.now: build the structurally-ordered
-    request event sequence (listing, post, image fetches with their
-    inter-request sleeps — including failed attempts, each one token +
-    RETRY_DELAY) and run the exact bucket recurrence, carrying state across
-    waves. The event list is tiny (1 row per request, no payloads) — metrics
-    path only. Returns this wave's delta seconds."""
-    img_counts = {
-        r["post_id"]: r["n"]
-        for r in imgs.groupBy("post_id").agg(F.count("*").alias("n")).collect()
-    }
-    pid_rows = events.select(
-        "page", "pos_in_page", "post_id", "fail_attempts", "alive", "kept"
-    ).collect()
-    by_page: dict[int, list] = {}
-    for r in pid_rows:
-        by_page.setdefault(r["page"], []).append(r)
+    """Reproduce the oracle's TokenBucket.now, DISTRIBUTED: the structurally-
+    ordered request event frame (listing, failed attempts, post fetch, image
+    fetches — 1 row per request, key columns only, no payloads) is built
+    with DataFrame ops, and ONE single-scope applyInPandas runs the exact
+    bucket recurrence with the carried cross-wave state, returning a single
+    (final_now, last-burst-times) row. Only that scalar row reaches the
+    driver — no per-post collect(), so the metrics path scales with
+    executor memory, not driver memory. Returns this wave's delta seconds.
+
+    The sequential loop semantics map onto the frame exactly: each request's
+    sleep_before is the sleep EMITTED by the previous event in structural
+    order (listing emits WAIT_PAGE_LOAD, failed attempt RETRY_DELAY, post
+    WAIT_POST_NAV, image 0), a page's trailing `now += pending +
+    WAIT_BETWEEN_PAGES` folds into the next listing's sleep_before (request
+    after a bare time-advance == request with that advance as its sleep),
+    and the wave's own trailing advance is added to the fold's final now."""
+    seq = (
+        F.col("page").cast("long") * 1_000_000_000_000
+        + (F.col("pos_in_page").cast("long") + 1) * 1_000_000
+        + F.col("sub")
+    )
+    base = events.select("page", "pos_in_page", "fail_attempts", "alive", "kept")
+    att = (
+        base.filter(F.col("fail_attempts") > 0)
+        .select(
+            "page",
+            "pos_in_page",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.col("fail_attempts"), F.lit(MAX_FETCH_ATTEMPTS)),
+                )
+            ).alias("sub0"),
+        )
+        .select("page", "pos_in_page", F.col("sub0").cast("long").alias("sub"))
+        .select(
+            seq.alias("seq"),
+            F.lit(RETRY_DELAY).alias("emits"),
+            F.lit(False).alias("is_listing"),
+        )
+    )
+    post = base.filter("alive").select(
+        "page", "pos_in_page", F.lit(_VSEC_SUB_POST).cast("long").alias("sub")
+    ).select(
+        seq.alias("seq"),
+        F.lit(WAIT_POST_NAV).alias("emits"),
+        F.lit(False).alias("is_listing"),
+    )
+    img_ev = imgs.select(
+        "page",
+        "pos_in_page",
+        (F.lit(_VSEC_SUB_POST + 1) + F.col("img_idx")).cast("long").alias("sub"),
+    ).select(
+        seq.alias("seq"),
+        F.lit(0.0).alias("emits"),
+        F.lit(False).alias("is_listing"),
+    )
+    listing = spark.createDataFrame(
+        [(p,) for p in page_band], "page int"
+    ).select(
+        (F.col("page").cast("long") * 1_000_000_000_000).alias("seq"),
+        F.lit(WAIT_PAGE_LOAD).alias("emits"),
+        F.lit(True).alias("is_listing"),
+    )
+    ev = att.unionByName(post).unionByName(img_ev).unionByName(listing)
+
+    init_times = list(bucket.times)
+    init_now = bucket.now
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        emits = pdf["emits"].to_numpy(dtype="float64")
+        isl = pdf["is_listing"].to_numpy(dtype=bool)
+        sleep = np.empty(len(emits), dtype="float64")
+        sleep[0] = 0.0
+        sleep[1:] = emits[:-1]
+        sleep = np.where(isl, sleep + WAIT_BETWEEN_PAGES, sleep)
+        sleep[0] = 0.0  # wave's first listing: prior wave already advanced
+        t = schedule_numpy(sleep, init_times=init_times, init_now=init_now)
+        final = float(t[-1] + emits[-1] + WAIT_BETWEEN_PAGES)
+        hist = np.concatenate(
+            [np.asarray(init_times, dtype="float64"), t]
+        )[-RATE_LIMIT_REQUESTS:]
+        return pd.DataFrame({"final_now": [final], "times": [hist.tolist()]})
+
+    row = (
+        ev.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_fold, "final_now double, times array<double>")
+        .collect()[0]
+    )
     start = bucket.now
-    pending = 0.0
-    for p in page_band:
-        bucket.request(pending)  # listing fetch
-        pending = WAIT_PAGE_LOAD
-        for r in sorted(by_page.get(p, []), key=lambda r: r["pos_in_page"]):
-            for _ in range(min(r["fail_attempts"], MAX_FETCH_ATTEMPTS)):
-                bucket.request(pending)  # failed fetch attempt
-                pending = RETRY_DELAY
-            if not r["alive"]:
-                continue  # exhausted retries — no successful fetch
-            bucket.request(pending)  # post fetch
-            pending = WAIT_POST_NAV
-            if r["kept"]:
-                for _ in range(img_counts.get(r["post_id"], 0)):
-                    bucket.request(pending)  # image fetch
-                    pending = 0.0
-        bucket.now += pending + WAIT_BETWEEN_PAGES  # trailing page advances
-        pending = 0.0
+    bucket.now = row["final_now"]
+    bucket.times = list(row["times"])
     return bucket.now - start

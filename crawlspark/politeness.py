@@ -41,21 +41,33 @@ def schedule_numpy(
     sleep_before: np.ndarray,
     burst: int = RATE_LIMIT_REQUESTS,
     period: float = RATE_LIMIT_PERIOD,
+    init_times: list[float] | None = None,
+    init_now: float = 0.0,
 ) -> np.ndarray:
     """Token-bucket schedule for one ordered request sequence.
 
     Exact recurrence: t_i = t_{i-1} + a_i for i < burst, else
     max(t_{i-1} + a_i, t_{i-burst} + period). Sequential by nature (a wait
-    on request i shifts every later request)."""
+    on request i shifts every later request).
+
+    `init_times`/`init_now` carry bucket state across waves: the last
+    `burst` request times of the previous wave and its final virtual now
+    (the rate window can span a wave boundary)."""
     n = len(sleep_before)
     t = np.empty(n, dtype=np.float64)
-    prev = 0.0
+    hist = list(init_times or [])[-burst:]
+    prev = init_now
     for i in range(n):
         cand = prev + sleep_before[i]
-        if i >= burst:
-            wait = t[i - burst] + period
-            if wait > cand:
-                cand = wait
+        k = i - burst
+        if k >= 0:
+            wait = t[k] + period
+        elif len(hist) + i >= burst:
+            wait = hist[k] + period  # k negative: index from history tail
+        else:
+            wait = cand
+        if wait > cand:
+            cand = wait
         t[i] = cand
         prev = cand
     return t

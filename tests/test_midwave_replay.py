@@ -74,3 +74,35 @@ def test_midwave_crash_replay_no_duplicates(spark, tmp_path):
                     pages_per_wave=2, run_id="m3")
     assert result3.stats == golden.stats
     assert cat.read(spark, "crawl_order").count() == before
+
+
+def test_nonfinal_wave_replay_keeps_bucket_state_exact(spark, tmp_path):
+    """Crash replay on a NON-final wave: the replayed wave must restore the
+    persisted politeness bucket instead of re-running the recurrence over
+    its empty link set (phantom listing tokens would shift every later
+    wave's schedule whenever the 5-req/10-s budget binds across the wave
+    boundary — max_images=8 makes back-to-back image fetches bind it)."""
+    spec = SiteSpec(pages=6, posts_per_page=6, seed=11, max_images=8)
+    site = build_site(spec)
+    golden = run_oracle(site)
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+
+    wd = str(tmp_path / "nonfinal")
+    # run waves 1-2 only (pages 1..4 of 6)
+    crawl(spark, store, spec.base_url, wd, pages=4, pages_per_wave=2,
+          run_id="n1")
+    # crash: wave 2's data tables committed, checkpoint marker did not
+    _rollback_last_commit(wd, "checkpoints")
+    # resume to completion: wave 2 replays, wave 3 (pages 5-6) is FRESH and
+    # must schedule against the restored — not polluted — bucket state
+    result = crawl(spark, store, spec.base_url, wd, pages=6,
+                   pages_per_wave=2, run_id="n2")
+
+    assert result.stats == golden.stats
+    assert result.virtual_seconds == golden.virtual_seconds
+
+    # and the final state matches an uninterrupted 3-wave run exactly
+    cat = Catalog(wd)
+    rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
+    got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
+    assert got == golden.crawl_order
