@@ -70,7 +70,7 @@ def cmd_status(args) -> int:
     spark = _spark(args)
     cat = Catalog(args.workdir)
     out: dict = {"workdir": args.workdir, "tables": {}}
-    for t in ("posts", "images", "seen", "crawl_order", "lineage",
+    for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
               "checkpoints", "metrics", "errors", "frontier", "politeness"):
         df = cat.read(spark, t)
         out["tables"][t] = {
@@ -99,7 +99,7 @@ def cmd_reset(args) -> int:
     from crawlspark.catalog import Catalog
 
     cat = Catalog(args.workdir)
-    for t in ("posts", "images", "seen", "crawl_order", "lineage",
+    for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
               "checkpoints", "metrics", "robots", "errors", "frontier",
               "politeness"):
         cat.drop(t)

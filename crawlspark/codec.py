@@ -185,3 +185,51 @@ def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     base = ((xx * 255 // max(w - 1, 1)) + (yy * 255 // max(h - 1, 1))) // 2
     noise = rng.integers(0, 64, size=(h, w, 3), dtype=np.int64)
     return ((base[:, :, None] * 3 + noise * 2) % 256).astype(np.uint8)
+
+
+# --------------------------------------------------------------- documents
+# Deterministic attachment-payload stand-ins (reference downloads real
+# pdf/pptx/docx/hwp/xlsx files, crawler.py:467-501 + legacy:743-777; the
+# document libraries are not in this container). Every payload is an
+# 8-byte format magic + the UTF-8 text body, so the Spark-side extract
+# stage can decode the text with pure JVM expressions
+# (decode(substring(payload, 9, ...), 'UTF-8')) — no UDF.
+
+DOC_MAGIC = {
+    "pdf": b"%PDF-1.7",
+    "pptx": b"PK\x03\x04PPTX",
+    "docx": b"PK\x03\x04DOCX",
+    "xlsx": b"PK\x03\x04XLSX",
+    "hwp": b"HWP-DOC5",
+}
+DOC_MAGIC_LEN = 8  # every magic is exactly 8 bytes (JVM-side fixed skip)
+
+_DOC_WORDS = [
+    "부동산", "시장", "분석", "보고서", "투자", "전략", "금리", "전망",
+    "아파트", "지역", "통계", "요약",
+]
+
+
+def doc_text(url: str) -> str:
+    """Deterministic document text for a synthetic attachment URL —
+    cross-process stable (sha256, never Python hash())."""
+    h = hashlib.sha256(url.encode()).hexdigest()
+    words = [_DOC_WORDS[int(h[i : i + 2], 16) % len(_DOC_WORDS)] for i in range(0, 16, 2)]
+    return " ".join(words) + " #" + h[:12]
+
+
+def encode_doc(url: str, fmt: str) -> bytes:
+    """Attachment payload: 8-byte magic + deterministic UTF-8 text body."""
+    magic = DOC_MAGIC.get(fmt.lower())
+    if magic is None:
+        raise ValueError(f"unknown doc fmt {fmt}")
+    assert len(magic) == DOC_MAGIC_LEN
+    return magic + doc_text(url).encode("utf-8")
+
+
+def decode_doc(data: bytes, fmt: str) -> str:
+    """Extract the text body; raises on magic mismatch like a real parser."""
+    magic = DOC_MAGIC.get(fmt.lower())
+    if magic is None or not data.startswith(magic):
+        raise ValueError(f"bad {fmt} payload")
+    return data[DOC_MAGIC_LEN:].decode("utf-8")

@@ -708,6 +708,33 @@ def w5_topk_per_group(spark, sf_dir):
     )
 
 
+@register(
+    "s6_file_hash_manifest",
+    """
+    SELECT doc_id,
+           concat('doc_', doc_id, '.pdf') AS filename,
+           CAST(8 + octet_length(encode(text)) AS BIGINT) AS size,
+           sha256(concat('%PDF-1.7', text)) AS sha256
+    FROM documents
+    """,
+)
+def s6_file_hash_manifest(spark, sf_dir):
+    """S6 files-table hash manifest analog (crawler.py:467-501 download +
+    the engine's driver files stage): per attachment, filename + payload
+    size (8-byte magic + UTF-8 body, codec.DOC_MAGIC) + sha256 — the same
+    integrity columns the `files` table commits, value-checked vs DuckDB's
+    sha256. octet_length (bytes, not chars) because the corpus is Korean."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".pdf")
+        ).alias("filename"),
+        (F.octet_length("text") + 8).cast("bigint").alias("size"),
+        F.sha2(F.concat(F.lit("%PDF-1.7"), F.col("text")), 256).alias("sha256"),
+    )
+
+
 # =====================================================================
 # §2.6 set ops
 # =====================================================================

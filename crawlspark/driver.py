@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawlspark import ops, schema
+from crawlspark import codec, ops, schema
 from crawlspark.canonical import host_bucket, host_of, salt_for
 from crawlspark.catalog import Catalog
 from crawlspark.imageops import decode_image_udf
@@ -390,6 +390,51 @@ def _run_wave(
     )
     cat.merge_new(spark, records.orderBy("post_id"), "posts", key="post_id",
                   meta={"wave": wave})
+    # ---- S6: attachment payload fetch + files table (crawler.py:467-501
+    # download, legacy:743-777 parse_file dispatch). Links with a recognized
+    # doc extension join their payload from the store (mirrors the S5 image
+    # join); the text body is extracted with pure JVM expressions (fixed
+    # 8-byte magic skip — codec.DOC_MAGIC). File fetches are NOT token-bucket
+    # requests: the reference downloads via CDP click, not session.get.
+    flinks = records.select(
+        "post_id", "page", "pos_in_page",
+        F.posexplode("file_sources").alias("fidx", "file_url"),
+    )
+    fname = F.substring_index(
+        F.element_at(F.split(F.col("file_url"), "/"), -1), "?", 1
+    )
+    fext = F.when(
+        fname.contains("."),
+        F.lower(F.element_at(F.split(fname, r"\."), -1)),
+    ).otherwise(F.lit(""))
+    flinks = flinks.withColumn("filename", fname).withColumn(
+        "fmt", ops.normalize_format(fext)
+    ).filter(F.col("fmt").isin(*sorted(codec.DOC_MAGIC)))
+    files_out = flinks.join(
+        page_store.filter(F.col("kind") == "file").select(
+            F.col("url").alias("file_url"), "payload"
+        ),
+        "file_url",
+        "left",
+    ).select(
+        F.concat_ws("#", "post_id", "fidx").alias("file_id"),
+        "post_id",
+        F.col("file_url").alias("url"),
+        "filename",
+        "fmt",
+        F.length("payload").cast("long").alias("size"),
+        F.sha2("payload", 256).alias("sha256"),
+        F.expr(
+            f"decode(substring(payload, {codec.DOC_MAGIC_LEN + 1},"
+            f" length(payload) - {codec.DOC_MAGIC_LEN}), 'UTF-8')"
+        ).alias("content"),
+        "page",
+        "pos_in_page",
+    )
+    cat.merge_new(
+        spark, files_out.orderBy("post_id", "file_id"), "files",
+        key="file_id", meta={"wave": wave},
+    )
     cat.merge_new(
         spark,
         images_out.orderBy("page", "pos_in_page", "img_idx"),

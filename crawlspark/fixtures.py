@@ -353,6 +353,22 @@ def image_payload(url: str, w: int = 32, h: int = 32) -> bytes:
     return codec.encode_image(codec.synth_pixels(url, w, h), fmt)
 
 
+# normalized formats the file store serves (legacy parsers, legacy:743-777)
+DOC_FMTS = {"pdf", "pptx", "docx", "xlsx", "hwp"}
+
+
+def post_file_urls(truth: PostTruth) -> list[tuple[str, str]]:
+    """(url, fmt) of fetchable attachments in anchor order — certificate
+    decoys, excluded image types, and keyword-only (javascript:) anchors
+    produce no payload, mirroring which links the reference's parse_file
+    dispatch actually handles (legacy:795-801)."""
+    out: list[tuple[str, str]] = []
+    for href_tmpl, _text, det, fmt in truth.attach_cases:
+        if det and fmt in DOC_FMTS:
+            out.append((href_tmpl.format(cdn=CDN_HOST, pid=truth.post_id), fmt))
+    return out
+
+
 def page_store_rows(site: Site, image_size: int = 32) -> list[dict]:
     """One row per fetchable URL — the engine's synthetic network."""
     rows: list[dict] = []
@@ -397,6 +413,17 @@ def page_store_rows(site: Site, image_size: int = 32) -> list[dict]:
                     "page": None,
                     "body": None,
                     "payload": image_payload(img_url, image_size, image_size),
+                    "fail_attempts": 0,
+                }
+            )
+        for file_url, fmt in post_file_urls(truth):
+            rows.append(
+                {
+                    "url": file_url,
+                    "kind": "file",
+                    "page": None,
+                    "body": None,
+                    "payload": codec.encode_doc(file_url, fmt),
                     "fail_attempts": 0,
                 }
             )

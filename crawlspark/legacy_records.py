@@ -118,15 +118,33 @@ def to_legacy_records(spark: SparkSession, cat: Catalog) -> DataFrame:
     fmt = F.when(norm.isin(_DOC_EXTS), norm).otherwise(F.lit("pptx"))
     fname = F.element_at(F.split(F.col("link_url"), "/"), -1)
     stub = F.format_string("[%s extract of %s]", fmt, fname)
+    # real extracted content where the files table fetched the payload
+    # (S6, driver files stage) — the stub remains only for links with no
+    # fetchable payload (keyword-only anchors), exactly the links the
+    # reference's parse_file dispatch skips (legacy:795-801)
+    files = cat.read(spark, "files")
+    extract = links.withColumn("fmt", fmt)
+    if files is not None:
+        extract = extract.join(
+            files.select(
+                "post_id",
+                F.col("url").alias("link_url"),
+                F.col("content").alias("__file_text"),
+            ),
+            ["post_id", "link_url"],
+            "left",
+        )
+    else:
+        extract = extract.withColumn("__file_text", F.lit(None).cast("string"))
     recs = recs.unionByName(
-        links.select(
+        extract.select(
             "post_id",
-            F.concat(fmt, F.lit("_extract")).alias("type"),
+            F.concat("fmt", F.lit("_extract")).alias("type"),
             F.col("link_url").alias("src"),
             "title",
-            stub.alias("content"),
+            F.coalesce(F.col("__file_text"), stub).alias("content"),
             F.lit(True).alias("has_download"),
-            F.array(fmt).alias("file_formats"),
+            F.array("fmt").alias("file_formats"),
             F.col("idx").cast("int").alias("idx"),
             "page",
             "pos_in_page",

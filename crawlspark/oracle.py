@@ -26,6 +26,7 @@ This module intentionally avoids any Spark; it is the independent check.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
 
@@ -92,6 +93,7 @@ class OracleResult:
     stats: dict
     virtual_seconds: float
     errors: list[dict] = field(default_factory=list)
+    files: list[dict] = field(default_factory=list)
 
 
 def _extract_links(base_url: str, html: str) -> list[tuple[str, str]]:
@@ -233,6 +235,7 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
     }
     bucket = TokenBucket()
     errors: list[dict] = []
+    files: list[dict] = []
     seq = 0
 
     pages = spec.pages if max_pages is None else min(spec.pages, max_pages)
@@ -314,6 +317,32 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
             has_dl, formats, link_urls = _detect_downloads(phtml, content)
             if has_dl:
                 stats["posts_with_downloads"] += 1
+            # S6 attachment payload fetch (crawler.py:467-501 download +
+            # legacy:743-777 parse_file dispatch): links with a recognized
+            # doc extension fetch their payload; keyword-only anchors have
+            # nothing the parser handles. NOT token-bucket requests — the
+            # reference downloads via CDP click, not session.get.
+            for fidx, link in enumerate(link_urls):
+                fname = link.rsplit("/", 1)[-1].split("?")[0]
+                ext = fname.rsplit(".", 1)[-1].lower() if "." in fname else ""
+                norm = FORMAT_NORM.get(ext, ext)
+                if norm not in codec.DOC_MAGIC:
+                    continue
+                payload = codec.encode_doc(link, norm)
+                files.append(
+                    {
+                        "file_id": f"{post_id}#{fidx}",
+                        "post_id": post_id,
+                        "url": link,
+                        "filename": fname,
+                        "fmt": norm,
+                        "size": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        "content": codec.decode_doc(payload, norm),
+                        "page": page,
+                        "pos_in_page": pos_visit - 1,
+                    }
+                )
             records[post_id] = {
                 "url": url,
                 "meta": {"title": title, "author": author, "date": date},
@@ -339,4 +368,5 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
         stats=stats,
         virtual_seconds=bucket.now,
         errors=errors,
+        files=files,
     )

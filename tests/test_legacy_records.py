@@ -51,15 +51,23 @@ def test_image_records_ordered(state):
     assert got == want  # legacy emission order == oracle image order
 
 
-def test_extract_stubs_per_link_with_pptx_default(state):
+def test_extract_records_per_link_with_pptx_default(state):
     _, golden, recs = state
     extracts = [r for r in recs if r["type"].endswith("_extract")]
     n_links = sum(len(g["file_sources"]) for g in golden.records)
     assert len(extracts) == n_links > 0
+    fetched = {(f["post_id"], f["url"]): f["content"] for f in golden.files}
     for r in extracts:
         fmt = r["type"].removesuffix("_extract")
-        assert r["content"].startswith(f"[{fmt} extract of ")
+        key = (r["post_id"], r["src"])
+        if key in fetched:
+            # S6: fetchable links carry the payload-extracted text body
+            assert r["content"] == fetched[key]
+        else:
+            # unfetchable (keyword-only) links keep the deterministic stub
+            assert r["content"].startswith(f"[{fmt} extract of ")
         assert r["file_formats"] == [fmt]
+    assert fetched, "fixture drew no fetchable attachments"
     # keyword-only anchors (javascript:void(0)) take the legacy pptx default
     kw = [r for r in extracts if r["src"] == "javascript:void(0)"]
     assert all(r["type"] == "pptx_extract" for r in kw)
