@@ -228,6 +228,87 @@ def p15_proximity_window(spark, sf_dir):
 
 
 @register(
+    "p15_engine_proximity_detect",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN concat('<p>다운로드 안내: 강의_', doc_id, '.pptx</p>')
+               WHEN 1 THEN concat('<p>목록 안내 유인물 자료 참고 문서 기록 보관 사본 강의_',
+                                  doc_id, '.hwp</p>')
+               WHEN 2 THEN concat('<p>첨부파일: 수료증명서_', doc_id, '.pdf</p>')
+               ELSE concat('<p>download deck_', doc_id, '.ppt now</p>')
+             END AS html
+      FROM documents
+    ), m AS (
+      SELECT doc_id, html,
+             regexp_extract(html,
+               '([가-힣a-zA-Z0-9_\\-\\[\\]\\(\\)]+\\.(pdf|pptx|ppt|docx|doc|hwp|xlsx|xls))',
+               1) AS fn
+      FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN fn <> ''
+                 AND NOT (contains(lower(fn), 'certificate')
+                          OR contains(fn, '인증서') OR contains(fn, '증명서')
+                          OR contains(fn, '수료증') OR contains(fn, '원격평생교육원'))
+                 AND (contains(lower(substr(html,
+                        greatest(strpos(html, fn) - 50, 1),
+                        strpos(html, fn) + length(fn) + 50
+                          - greatest(strpos(html, fn) - 50, 1))), '다운로드')
+                   OR contains(lower(substr(html,
+                        greatest(strpos(html, fn) - 50, 1),
+                        strpos(html, fn) + length(fn) + 50
+                          - greatest(strpos(html, fn) - 50, 1))), 'download')
+                   OR contains(lower(substr(html,
+                        greatest(strpos(html, fn) - 50, 1),
+                        strpos(html, fn) + length(fn) + 50
+                          - greatest(strpos(html, fn) - 50, 1))), '첨부파일'))
+                THEN CASE WHEN regexp_extract(fn, '\\.([a-z]+)$', 1) LIKE 'ppt%' THEN 'pptx'
+                          WHEN regexp_extract(fn, '\\.([a-z]+)$', 1) LIKE 'doc%' THEN 'docx'
+                          WHEN regexp_extract(fn, '\\.([a-z]+)$', 1) LIKE 'xls%' THEN 'xlsx'
+                          ELSE regexp_extract(fn, '\\.([a-z]+)$', 1) END
+                ELSE NULL END AS fmt
+    FROM m
+    """,
+)
+def p15_engine_proximity_detect(spark, sf_dir):
+    """P15 through the ENGINE's ops.proximity_formats (the exact array op
+    detect_downloads_array runs, download_detector.py:392-433): synthesized
+    page-source per doc exercises keyword-in-window positive, padded
+    negative, certificate-filename filter, and ppt->pptx normalization; the
+    oracle recomputes the same window logic with DuckDB string functions."""
+    from crawlspark.ops import proximity_formats
+
+    d = _t(spark, sf_dir, "documents")
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<p>다운로드 안내: 강의_"), F.col("doc_id").cast("string"), F.lit(".pptx</p>")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("<p>목록 안내 유인물 자료 참고 문서 기록 보관 사본 강의_"),
+                F.col("doc_id").cast("string"),
+                F.lit(".hwp</p>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("<p>첨부파일: 수료증명서_"), F.col("doc_id").cast("string"), F.lit(".pdf</p>")),
+        )
+        .otherwise(
+            F.concat(F.lit("<p>download deck_"), F.col("doc_id").cast("string"), F.lit(".ppt now</p>"))
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.try_element_at(proximity_formats(html), F.lit(1)).alias("fmt"),
+    )
+
+
+@register(
     "p20_session_expiry",
     """
     SELECT doc_id,

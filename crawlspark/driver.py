@@ -260,7 +260,7 @@ def _run_wave(
         .withColumn("parsed", parse_post_html(F.col("post_body")))
         .select(
             "url", "post_id", "page", "pos_in_page", "link_pos",
-            "fail_attempts", "parsed",
+            "fail_attempts", "parsed", "post_body",
         )
     )
 
@@ -328,7 +328,8 @@ def _run_wave(
         F.col("parsed.date").alias("date"),
         F.col("parsed.content").alias("content"),
         ops.detect_downloads_array(
-            F.col("parsed.content"), F.col("parsed.content_anchors")
+            F.col("parsed.content"), F.col("parsed.content_anchors"),
+            F.col("post_body"),  # P13/P14/P15/P17 page-source strategies
         ).alias("det"),
     ).select(
         "url",

@@ -52,11 +52,11 @@ ATTACH_CASES = [
     ("/files/han_{pid}.hwp", "한글 파일", True, "hwp"),
     ("/files/photo_{pid}.jpg", "사진", False, None),  # excluded type
     (
-        "https://{cdn}/files/cert_{pid}.pdf",
+        "https://{cdn}/files/certificate_{pid}.pdf",
         "원격평생교육원 수료 증명서",
         False,
         None,
-    ),  # certificate decoy, download_detector.py:73-79
+    ),  # certificate decoy, download_detector.py:73-79 (cert-named file)
     ("javascript:void(0)", "첨부파일 다운로드", True, None),  # keyword-only anchor
 ]
 
@@ -99,6 +99,12 @@ class PostTruth:
     # fetch attempts that fail before the body is served; >= MAX_FETCH_ATTEMPTS
     # (crawlspark.politeness) means the post is permanently dead
     fail_attempts: int = 0
+    # page-source-only affordances (P13/P14/P15/P17): a DOM download element
+    # (span/button/div), bare-filename notice lines (with/without a download
+    # keyword in the +/-50 window), and a CDN direct URL in plain text
+    dom_affordance: str | None = None
+    notice_lines: list[str] = field(default_factory=list)
+    cdn_note_url: str | None = None
 
 
 @dataclass
@@ -188,6 +194,37 @@ def _make_post(spec: SiteSpec, page: int, pos: int, pid: int) -> PostTruth:
 
     skipped = (not is_vip) and (post_count is not None) and (post_count < 100)
 
+    # page-source-only download affordances (download_detector.py:271-433):
+    # exercised by P13/P14/P15/P17 — outside post-content so only the
+    # page-source strategies can see them
+    dom_affordance = None
+    if rng.random() < 0.25:
+        dom_affordance = rng.choice(
+            [
+                '<span class="text-sm font-semibold">다운로드</span>',
+                '<button class="dl-btn">자료 다운로드</button>',
+                '<div class="dl-row">첨부파일 받기</div>',
+            ]
+        )
+    notice_lines: list[str] = []
+    if rng.random() < 0.2:
+        # negative proximity case FIRST, padded on both sides so no download
+        # keyword can fall inside its +/-50 window
+        pad_l = _sentence(rng, 14)
+        pad_r = _sentence(rng, 14)
+        notice_lines.append(f"{pad_l} 자료집_{post_id}.hwp {pad_r}")
+    prox_positive = rng.random() < 0.2
+    if prox_positive:
+        notice_lines.append(f"다운로드 안내: 특강자료_{post_id}.pptx")
+        if "pptx" not in fmts:
+            fmts.append("pptx")
+    cdn_note_url = None
+    if rng.random() < 0.15:
+        cdn_note_url = f"https://{CDN_HOST}/files/extra_{post_id}.pdf"
+        notice_lines.append(f"{cdn_note_url} 다운로드 가능")
+        if "pdf" not in fmts:
+            fmts.append("pdf")
+
     # retry/error path: dead posts never serve; flaky posts fail 1-2 attempts
     roll2 = rng.random()
     if roll2 < spec.dead_rate:
@@ -213,6 +250,9 @@ def _make_post(spec: SiteSpec, page: int, pos: int, pid: int) -> PostTruth:
         expected_skipped=skipped,
         expected_formats=sorted(fmts),
         fail_attempts=fail_attempts,
+        dom_affordance=dom_affordance,
+        notice_lines=notice_lines,
+        cdn_note_url=cdn_note_url,
     )
 
 
@@ -325,6 +365,10 @@ def render_post_html(site: Site, truth: PostTruth) -> str:
         for h, t, _, _ in truth.attach_cases
     )
     content = "<br>\n".join(truth.content_lines)
+    notices = "\n".join(
+        f'<div class="notice">{ln}</div>' for ln in truth.notice_lines
+    )
+    affordance = truth.dom_affordance or ""
     return (
         f"<html><head><title>{truth.title} : 월급쟁이부자들</title></head><body>\n"
         f"<nav>{' '.join(UI_NOISE_LINES)}</nav>\n"
@@ -333,6 +377,7 @@ def render_post_html(site: Site, truth: PostTruth) -> str:
         f'<span class="author">{truth.author}</span>\n'
         f'<span class="date" title="{truth.created_at}">{truth.created_at}</span>\n'
         f'<div class="post-content">{content}\n{imgs}\n{attach}</div>\n'
+        f"{notices}\n{affordance}\n"
         f"</body></html>"
     )
 
@@ -366,6 +411,8 @@ def post_file_urls(truth: PostTruth) -> list[tuple[str, str]]:
     for href_tmpl, _text, det, fmt in truth.attach_cases:
         if det and fmt in DOC_FMTS:
             out.append((href_tmpl.format(cdn=CDN_HOST, pid=truth.post_id), fmt))
+    if truth.cdn_note_url:  # P13 CDN direct link is fetchable too
+        out.append((truth.cdn_note_url, "pdf"))
     return out
 
 

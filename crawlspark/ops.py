@@ -136,6 +136,16 @@ DOC_EXTS = ["pdf", "pptx", "ppt", "docx", "doc", "hwp", "xlsx", "xls"]
 EXCLUDED_EXTS = ["jpg", "jpeg", "png", "gif", "svg"]
 DOWNLOAD_KEYWORDS = ["다운로드", "download", "첨부파일"]
 FILE_REF_PATTERN = r"([가-힣\w\-\[\]\(\)]+\.(?:pdf|pptx?|docx?|hwp|xlsx?|xls))"
+# P13 (download_detector.py:259-267, 425-433): full CDN direct-link URL over
+# content/page source (fixture CDN host stands in for cdn.weolbu.com)
+CDN_URL_PATTERN = (
+    r"https?://cdn\.weolbu\.example\.com/(?:[A-Za-z0-9_\-]+/)?"
+    r"[가-힣A-Za-z0-9_\-\[\]\(\)]+\.(?:pdf|pptx?|docx?|hwp|xlsx?|xls)"
+)
+# P14/P17 (download_detector.py:271-390 DOM strategies; 94-168 static
+# selector list): span/button/div whose leading text carries a download
+# keyword — anchors are handled by the anchor strategy
+DOM_AFFORDANCE_PATTERN = r"<(?:span|button|div)[^>]*>[^<]*(?:다운로드|download|첨부파일)"
 
 
 def normalize_format(ext: Column) -> Column:
@@ -155,21 +165,27 @@ def _anchor_ext(href: Column) -> Column:
     ).otherwise(F.lit(""))
 
 
-def detect_downloads(posts: DataFrame) -> DataFrame:
+def detect_downloads(posts: DataFrame, html_col: str | None = None) -> DataFrame:
     """P11-P19 + J3 + A3/A4 (download_detector.py:64-267, 439-457;
     models.py:228-255): per post -> (has_download, file_formats ordered
     distinct, file_sources ordered distinct, _download_summary).
 
     Input: (post_id, parsed) rows. Anchor strategy + content file-reference
     scan, certificate filter, excluded image types, format normalization.
+    With `html_col` (raw page source column name), the full strategy union
+    runs — DOM affordances (P14/P17), proximity window (P15), CDN direct
+    link (P13) — matching detect_downloads_array.
     """
+    html = F.col(html_col) if html_col else F.lit(None).cast("string")
     an = posts.select(
         "post_id",
         F.col("parsed.content").alias("content"),
+        html.alias("__page_html"),
         F.posexplode_outer(F.col("parsed.content_anchors")).alias("pos", "anchor"),
     ).select(
         "post_id",
         "content",
+        "__page_html",
         "pos",
         F.col("anchor.href").alias("href"),
         F.col("anchor.text").alias("text"),
@@ -232,6 +248,7 @@ def detect_downloads(posts: DataFrame) -> DataFrame:
             )
         ).alias("file_sources"),
         F.first("content", ignorenulls=False).alias("content"),
+        F.first("__page_html", ignorenulls=False).alias("__page_html"),
     )
     # P12 content file-reference scan (download_detector.py:218-256)
     refs = F.regexp_extract_all(
@@ -246,11 +263,36 @@ def detect_downloads(posts: DataFrame) -> DataFrame:
         )
     )
     out = agg.withColumn("ref_formats", ref_formats)
+    if html_col:
+        ph = F.col("__page_html")
+        out = out.withColumn("__dom_has", dom_affordance_flag(ph)).withColumn(
+            "__prox", proximity_formats(ph)
+        ).withColumn("__cdn", cdn_direct_link(ph))
+        out = out.withColumn(
+            "file_sources",
+            F.when(
+                (F.size("__prox") > 0)
+                & (F.col("__cdn") != "")
+                & ~_fname_cert(F.col("__cdn"))
+                & ~F.array_contains(F.col("file_sources"), F.col("__cdn")),
+                F.concat(F.col("file_sources"), F.array(F.col("__cdn"))),
+            ).otherwise(F.col("file_sources")),
+        )
+    else:
+        out = out.withColumn("__dom_has", F.lit(False)).withColumn(
+            "__prox", F.array().cast("array<string>")
+        )
     out = out.withColumn(
-        "has_download", F.col("anchor_has") | (F.size("ref_formats") > 0)
+        "has_download",
+        F.col("anchor_has")
+        | (F.size("ref_formats") > 0)
+        | F.col("__dom_has")
+        | (F.size("__prox") > 0),
     ).withColumn(
         "file_formats",
-        F.array_distinct(F.concat(F.col("anchor_formats"), F.col("ref_formats"))),
+        F.array_distinct(
+            F.concat(F.col("anchor_formats"), F.col("ref_formats"), F.col("__prox"))
+        ),
     )
     return out.select(
         "post_id",
@@ -324,10 +366,70 @@ def image_urls_array(img_srcs: Column, base_url: str) -> Column:
     return ordered_distinct(absu)
 
 
-def detect_downloads_array(content: Column, content_anchors: Column) -> Column:
+def dom_affordance_flag(page_html: Column) -> Column:
+    """P14/P17 (download_detector.py:271-320, 94-168): span/button/div
+    download affordances (user CSS selector, exact span, generic keyword
+    elements) — a pure boolean, these elements carry no href."""
+    return F.lower(F.coalesce(page_html, F.lit(""))).rlike(DOM_AFFORDANCE_PATTERN)
+
+
+def _fname_cert(fn: Column) -> Column:
+    c = F.lit(False)
+    for p in CERT_PATTERNS:
+        c = c | F.lower(fn).contains(p.lower())
+    return c
+
+
+def proximity_formats(page_html: Column) -> Column:
+    """P15 (download_detector.py:392-433): filename matches over the raw
+    page source count only if a download keyword occurs within +/-50 chars
+    of the filename's FIRST occurrence (the reference uses
+    page_source.find). Certificate filenames are dropped. Returns the
+    ordered-distinct normalized formats — all JVM HOFs, no UDF."""
+    html = F.coalesce(page_html, F.lit(""))
+    fnames = F.regexp_extract_all(html, F.lit(FILE_REF_PATTERN), 1)
+
+    # context window around the first occurrence (reference: find() +/- 50;
+    # start clamps at 1, so the window LENGTH is end - start, not len+100 —
+    # a filename within the first 50 chars must not pull extra right context)
+    def ctx_ok(fn):
+        pos = F.position(fn, html)
+        start = F.greatest(pos - 50, F.lit(1))
+        window = F.lower(
+            F.substring(html, start, pos + F.length(fn) + 50 - start)
+        )
+        k = F.lit(False)
+        for kw in DOWNLOAD_KEYWORDS:
+            k = k | window.contains(kw)
+        return (pos > 0) & k
+
+    kept = F.filter(fnames, lambda fn: ctx_ok(fn) & ~_fname_cert(fn))
+    return ordered_distinct(
+        F.transform(
+            kept,
+            lambda fn: normalize_format(F.lower(F.element_at(F.split(fn, r"\."), -1))),
+        )
+    )
+
+
+def cdn_direct_link(page_html: Column) -> Column:
+    """P13 (download_detector.py:259-267, 425-433): FIRST full CDN doc URL
+    in the page source (the reference's re.search semantics), '' if none."""
+    return F.regexp_extract(F.coalesce(page_html, F.lit("")), CDN_URL_PATTERN, 0)
+
+
+def detect_downloads_array(
+    content: Column, content_anchors: Column, page_html: Column | None = None
+) -> Column:
     """P11-P19 + A3/A4 as pure array expressions: returns
     struct(has_download, file_formats, file_sources, _download_summary).
-    Same semantics as detect_downloads but zero shuffles."""
+    Same semantics as detect_downloads but zero shuffles.
+
+    With `page_html`, the full strategy union runs (download_detector.py
+    271-433): anchors + content refs + DOM affordances (P14/P17) +
+    proximity-window page-source scan (P15) + CDN direct link (P13, added
+    to file_sources only when a proximity match fired and the URL isn't
+    already present — the reference's in-loop re.search semantics)."""
     anchors = F.coalesce(
         content_anchors,
         F.array().cast("array<struct<href:string,text:string>>"),
@@ -390,8 +492,26 @@ def detect_downloads_array(content: Column, content_anchors: Column) -> Column:
         )
     )
     anchor_has = F.exists(anchors, detected)
-    has = anchor_has | (F.size(ref_formats) > 0)
-    formats = F.array_distinct(F.concat(anchor_formats, ref_formats))
+    if page_html is not None:
+        dom_has = dom_affordance_flag(page_html)
+        prox = proximity_formats(page_html)
+        cdn = cdn_direct_link(page_html)
+        # CDN direct link joins file_sources only when a proximity match
+        # fired, the URL isn't a certificate, and it isn't already present
+        file_sources = F.when(
+            (F.size(prox) > 0)
+            & (cdn != "")
+            & ~_fname_cert(cdn)
+            & ~F.array_contains(file_sources, cdn),
+            F.concat(file_sources, F.array(cdn)),
+        ).otherwise(file_sources)
+    else:
+        dom_has = F.lit(False)
+        prox = F.array().cast("array<string>")
+    has = anchor_has | (F.size(ref_formats) > 0) | dom_has | (F.size(prox) > 0)
+    formats = F.array_distinct(
+        F.concat(anchor_formats, ref_formats, prox)
+    )
     return F.struct(
         has.alias("has_download"),
         formats.alias("file_formats"),

@@ -63,6 +63,14 @@ EXCLUDED_EXTS = {"jpg", "jpeg", "png", "gif", "svg"}
 FORMAT_NORM = {"ppt": "pptx", "doc": "docx", "xls": "xlsx"}
 DOWNLOAD_KEYWORDS = ["다운로드", "download", "첨부파일"]
 FILE_REF_RE = re.compile(r"([가-힣\w\-\[\]\(\)]+\.(pdf|pptx?|docx?|hwp|xlsx?|xls))")
+# P14/P17 DOM affordances + P13 CDN direct link (mirrors crawlspark.ops)
+DOM_AFFORDANCE_RE = re.compile(
+    r"<(?:span|button|div)[^>]*>[^<]*(?:다운로드|download|첨부파일)"
+)
+CDN_URL_RE = re.compile(
+    r"https?://cdn\.weolbu\.example\.com/(?:[A-Za-z0-9_\-]+/)?"
+    r"[가-힣A-Za-z0-9_\-\[\]\(\)]+\.(?:pdf|pptx?|docx?|hwp|xlsx?|xls)"
+)
 
 
 @dataclass
@@ -202,6 +210,39 @@ def _detect_downloads(html: str, content: str) -> tuple[bool, list[str], list[st
         norm = FORMAT_NORM.get(ext, ext)
         if norm not in formats:
             formats.append(norm)
+    # P14/P17 DOM affordances (download_detector.py:271-320, 94-168):
+    # span/button/div whose leading text carries a download keyword
+    if DOM_AFFORDANCE_RE.search(html.lower()):
+        has = True
+    # P15 proximity window over the RAW page source
+    # (download_detector.py:392-433): filename match counts only with a
+    # download keyword within +/-50 chars of its FIRST occurrence
+    prox_hit = False
+    for fm in FILE_REF_RE.finditer(html):
+        fname = fm.group(1)
+        if any(p.lower() in fname.lower() for p in CERT_PATTERNS):
+            continue
+        pos = html.find(fname)
+        ctx = html[max(0, pos - 50): pos + len(fname) + 50].lower()
+        if not any(k in ctx for k in DOWNLOAD_KEYWORDS):
+            continue
+        has = True
+        prox_hit = True
+        ext = fm.group(2).lower()
+        norm = FORMAT_NORM.get(ext, ext)
+        if norm not in formats:
+            formats.append(norm)
+    # P13 CDN direct link (download_detector.py:259-267, 425-433): FIRST
+    # full CDN doc URL in the page source, gated on a proximity match
+    if prox_hit:
+        cm = CDN_URL_RE.search(html)
+        if cm:
+            cdn = cm.group(0)
+            if (
+                not any(p.lower() in cdn.lower() for p in CERT_PATTERNS)
+                and cdn not in links
+            ):
+                links.append(cdn)
     return has, formats, links
 
 

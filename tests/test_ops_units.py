@@ -78,10 +78,13 @@ def test_detect_array_matches_exploded_variant(spark):
     arr = df.select(
         "post_id",
         ops.detect_downloads_array(
-            F.col("parsed.content"), F.col("parsed.content_anchors")
+            F.col("parsed.content"), F.col("parsed.content_anchors"),
+            F.col("html"),
         ).alias("d"),
     ).select("post_id", "d.*")
-    exp = ops.detect_downloads(df.select("post_id", "parsed"))
+    exp = ops.detect_downloads(
+        df.select("post_id", "parsed", "html"), html_col="html"
+    )
     a = {r["post_id"]: r.asDict() for r in arr.collect()}
     e = {r["post_id"]: r.asDict() for r in exp.collect()}
     assert set(a) == set(e)
@@ -132,3 +135,70 @@ def test_content_fallback_stateful_scan(spark):
         ops.content_fallback(F.col("body")).alias("c")
     ).collect()[0]["c"]
     assert got == "\n".join(["x" * 31, "mid line that stays", "tail5"])
+
+
+def test_page_source_strategy_union_crafted(spark):
+    """P13/P14/P15/P17 on a crafted page: DOM affordance flags, proximity
+    positive adds a format, padded negative does not, and the CDN direct
+    link is APPENDED to file_sources (no cdn anchor precedes it) — engine
+    array op == oracle Python mirror == explicit expectation."""
+    from crawlspark.oracle import _detect_downloads
+    from crawlspark.parse import parse_post_html
+
+    pad = "서울 아파트 전세 매매 분양 청약 금리 대출 투자 상승 하락 규제 정책 단지"
+    cdn = "https://cdn.weolbu.example.com/files/extra_9.pdf"
+    html = (
+        '<html><body>\n'
+        '<div class="post-content">본문 내용입니다 충분히 길게 씁니다 서른 자 이상으로\n'
+        '<a href="/files/doc_9.docx">문서 다운로드</a></div>\n'
+        f'<div class="notice">{pad} 자료집_9.hwp {pad}</div>\n'
+        '<div class="notice">다운로드 안내: 특강자료_9.pptx</div>\n'
+        f'<div class="notice">{cdn} 다운로드 가능</div>\n'
+        '<button class="dl-btn">자료 다운로드</button>\n'
+        "</body></html>"
+    )
+    has, formats, links = _detect_downloads(html, "")
+    assert has is True
+    assert formats == ["docx", "pptx", "pdf"]
+    assert links == ["/files/doc_9.docx", cdn]
+
+    df = spark.createDataFrame([(html,)], "html string").withColumn(
+        "parsed", parse_post_html(F.col("html"))
+    )
+    got = df.select(
+        ops.detect_downloads_array(
+            F.col("parsed.content"), F.col("parsed.content_anchors"),
+            F.col("html"),
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert got["has_download"] is True
+    assert list(got["file_formats"]) == formats
+    assert list(got["file_sources"]) == links
+
+
+def test_dom_affordance_only_sets_flag(spark):
+    """A bare span affordance detects with no links/formats -> the
+    '[다운로드 감지됨] ' summary case (models.py:252)."""
+    from crawlspark.oracle import _detect_downloads, _download_summary
+    from crawlspark.parse import parse_post_html
+
+    html = (
+        '<html><body><div class="post-content">본문</div>\n'
+        '<span class="text-sm font-semibold">다운로드</span></body></html>'
+    )
+    has, formats, links = _detect_downloads(html, "")
+    assert (has, formats, links) == (True, [], [])
+    assert _download_summary(has, formats, len(links)) == "[다운로드 감지됨] "
+    df = spark.createDataFrame([(html,)], "html string").withColumn(
+        "parsed", parse_post_html(F.col("html"))
+    )
+    got = df.select(
+        ops.detect_downloads_array(
+            F.col("parsed.content"), F.col("parsed.content_anchors"),
+            F.col("html"),
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert got["has_download"] is True
+    assert list(got["file_formats"]) == []
+    assert list(got["file_sources"]) == []
+    assert got["_download_summary"] == "[다운로드 감지됨] "

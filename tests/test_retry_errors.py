@@ -18,7 +18,11 @@ from crawlspark.oracle import run_oracle
 from crawlspark.politeness import MAX_FETCH_ATTEMPTS
 from crawlspark.schema import PAGE_STORE
 
-SPEC = SiteSpec(pages=4, posts_per_page=10, dead_rate=0.15, flaky_rate=0.2)
+# seed chosen so the draw contains BOTH failure modes (dead + recoverable
+# flaky) and enough healthy posts — asserted by
+# test_fixture_has_both_failure_modes
+SPEC = SiteSpec(pages=4, posts_per_page=10, dead_rate=0.15, flaky_rate=0.2,
+                seed=2)
 
 
 @pytest.fixture(scope="module")
