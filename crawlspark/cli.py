@@ -164,9 +164,52 @@ def export_posts(spark, workdir: str, out: str) -> int | None:
     return n
 
 
+def text_blob_col():
+    """S9 per-post text blob (crawler.py:503-516 _save_post_text):
+    'Title: {title}\\n\\n{content}'."""
+    return F.concat(
+        F.lit("Title: "),
+        F.coalesce(F.col("meta.title"), F.lit("")),
+        F.lit("\n\n"),
+        F.coalesce(F.col("parsed_content"), F.lit("")),
+    )
+
+
+def export_text_blobs(spark, workdir: str, out_dir: str) -> int | None:
+    """S9 sink: one `<post_id>.txt` per post under `out_dir`, matching the
+    reference's output/<post_id>/<post_id>.txt record shape. Files are
+    written EXECUTOR-side via foreachPartition (each task writes its own
+    partition's files to the shared FS) — no driver collect; the driver
+    only receives the count."""
+    from crawlspark.catalog import Catalog
+
+    cat = Catalog(workdir)
+    df = cat.read(spark, "posts")
+    if df is None:
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    blobs = df.select("post_id", text_blob_col().alias("blob"))
+    n = blobs.count()
+
+    def _write(rows):
+        for r in rows:
+            with open(
+                os.path.join(out_dir, f"{r['post_id']}.txt"),
+                "w",
+                encoding="utf-8",
+            ) as f:
+                f.write(r["blob"])
+
+    blobs.foreachPartition(_write)
+    return n
+
+
 def cmd_export(args) -> int:
     spark = _spark(args)
-    n = export_posts(spark, args.workdir, args.out)
+    if args.shape == "text":
+        n = export_text_blobs(spark, args.workdir, args.out)
+    else:
+        n = export_posts(spark, args.workdir, args.out)
     if n is None:
         print("no posts table", file=sys.stderr)
         return 1
@@ -200,6 +243,11 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("export", help="export posts as reference-shape JSONL")
     e.add_argument("--workdir", required=True)
     e.add_argument("--out", required=True)
+    e.add_argument(
+        "--shape", choices=("jsonl", "text"), default="jsonl",
+        help="jsonl: storage.py record lines; text: one 'Title: ...' "
+             "blob file per post (S9, crawler.py:503-516)",
+    )
     e.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)

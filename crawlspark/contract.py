@@ -790,6 +790,28 @@ def w5_topk_per_group(spark, sf_dir):
 
 
 @register(
+    "s9_text_blob",
+    """
+    SELECT doc_id,
+           concat('Title: 문서 ', doc_id, chr(10), chr(10), text) AS blob
+    FROM documents
+    """,
+)
+def s9_text_blob(spark, sf_dir):
+    """S9 per-post text blob (crawler.py:503-516): the 'Title: {t}\\n\\n{c}'
+    record shape the reference writes per post — here as the projection the
+    CLI's text-shape export emits executor-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Title: 문서 "), F.col("doc_id").cast("string"),
+            F.lit("\n\n"), F.col("text"),
+        ).alias("blob"),
+    )
+
+
+@register(
     "s6_file_hash_manifest",
     """
     SELECT doc_id,

@@ -712,9 +712,21 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
-# no oracle_sql: encode/decode/resize run the repo's deterministic codec
-# stand-ins — not SQL-expressible; the driver records a rows-only check
-@register("multimodal_decode_resize")
+# encode/decode/resize run the repo's deterministic codec stand-ins — not
+# recomputable in SQL, so the oracle joins a COMMITTED expected-values
+# fixture (tests/fixtures/multimodal_expected.parquet, 20k doc_ids —
+# regenerated by scripts/gen_multimodal_fixture.py): the value hash now
+# checks every (n_bytes, w, h, fmt, phash, thumb_phash) cell instead of a
+# rows-only count.
+@register(
+    "multimodal_decode_resize",
+    """
+    SELECT d.doc_id, f.n_bytes, f.w, f.h, f.fmt, f.phash, f.thumb_phash
+    FROM documents d
+    JOIN '/root/repo/tests/fixtures/multimodal_expected.parquet' f
+      USING (doc_id)
+    """,
+)
 def multimodal_decode_resize(spark, sf_dir):
     """Full multimodal binary pipeline over mapInPandas: synthesize an image
     per document (encode stage stand-in — real decode libs are absent from

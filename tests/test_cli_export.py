@@ -31,3 +31,28 @@ def test_export_matches_oracle_records(spark, tmp_path):
 
 def test_export_missing_table_returns_none(spark, tmp_path):
     assert export_posts(spark, str(tmp_path / "nope"), str(tmp_path / "o")) is None
+
+
+def test_export_text_blobs_matches_reference_shape(spark, tmp_path):
+    """S9 (crawler.py:503-516): one '<post_id>.txt' per post containing
+    'Title: {title}\\n\\n{content}', written executor-side."""
+    import os
+
+    from crawlspark.cli import export_text_blobs
+
+    spec = SiteSpec(pages=2, posts_per_page=8, seed=9)
+    site = build_site(spec)
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+    wd = str(tmp_path / "blob_run")
+    crawl(spark, store, spec.base_url, wd, pages=2, run_id="b1")
+    out = str(tmp_path / "blobs")
+    n = export_text_blobs(spark, wd, out)
+
+    golden = run_oracle(site).records
+    assert n == len(golden)
+    for g in golden:
+        path = os.path.join(out, f"{g['post_id']}.txt")
+        with open(path, encoding="utf-8") as f:
+            assert f.read() == (
+                f"Title: {g['meta']['title']}\n\n{g['parsed_content']}"
+            )
