@@ -39,7 +39,7 @@ from crawlspark.politeness import (
     schedule_numpy,
 )
 from crawlspark.robots import filter_allowed
-from crawlspark.seen import BloomSeen
+from crawlspark.seen import ShardedBloomSeen
 from crawlspark.sources import api_listing_url, extract_links_api
 
 N_HOST_BUCKETS = 32  # frontier partitioning key space (sandbox scale)
@@ -110,7 +110,9 @@ def crawl(
     legacy/crawler_legacy.py:313-319). All three produce identical links."""
     cat = Catalog(workdir)
     run_id = run_id or uuid.uuid4().hex[:12]
-    bloom = BloomSeen()
+    # sharded by host_bucket: only shards for buckets present in a wave are
+    # broadcast (seen.py scale math — a 10^10-URL filter never ships whole)
+    bloom = ShardedBloomSeen(n_buckets=N_HOST_BUCKETS)
     seen_df = cat.read(spark, "seen")
     if seen_df is not None:
         bloom.add_urls(seen_df)
@@ -170,7 +172,7 @@ def crawl(
 def _run_wave(
     spark: SparkSession,
     cat: Catalog,
-    bloom: BloomSeen,
+    bloom: ShardedBloomSeen,
     page_store: DataFrame,
     base_url: str,
     run_id: str,

@@ -119,3 +119,131 @@ class BloomSeen:
             seen_table.select(F.col(url_col)), on=url_col, how="left_anti"
         )
         return definitely_new.unionByName(confirmed_new)
+
+
+class ShardedBloomSeen:
+    """The scale-path bloom: one bitmap shard per ``host_bucket``, built and
+    OR-merged per bucket, with ONLY the shards for buckets present in the
+    current wave broadcast to executors (the 12 GB / P seam from the scale
+    math above — a 10^10-URL filter never ships whole).
+
+    Same interface as BloomSeen (add_urls / maybe_seen_col / filter_new /
+    version); exact anti-join confirmation keeps the no-false-negative
+    guarantee regardless of shard membership."""
+
+    def __init__(
+        self,
+        bits_per_shard: int = DEFAULT_BITS,
+        k: int = DEFAULT_K,
+        n_buckets: int = 32,
+    ):
+        self.bits = bits_per_shard
+        self.k = k
+        self.n_buckets = n_buckets
+        self.shards: dict[int, np.ndarray] = {}
+        self.version = 0
+
+    def _bucket_col(self, url):
+        from crawlspark.canonical import host_bucket, host_of
+
+        return host_bucket(host_of(url), self.n_buckets).alias("__hb")
+
+    def add_urls(self, df: DataFrame, url_col: str = "url") -> None:
+        bits, k = self.bits, self.k
+        hashed = df.select(
+            self._bucket_col(F.col(url_col)),
+            *_hash_cols(F.col(url_col), bits, k),
+        )
+
+        def _shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                hb = pdf["__hb"].to_numpy(dtype=np.int64)
+                for b in np.unique(hb):
+                    bm = local.setdefault(
+                        int(b), np.zeros(bits // 8, dtype=np.uint8)
+                    )
+                    mask = hb == b
+                    for i in range(k):
+                        pos = pdf[f"__bh{i}"].to_numpy(dtype=np.int64)[mask]
+                        np.bitwise_or.at(
+                            bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                        )
+            for b, bm in local.items():
+                yield pd.DataFrame({"bucket": [b], "shard": [bm.tobytes()]})
+
+        rows = hashed.mapInPandas(_shard, schema="bucket int, shard binary").collect()
+        for row in rows:
+            b = int(row["bucket"])
+            if b in self.shards:
+                self.shards[b] |= np.frombuffer(row["shard"], dtype=np.uint8)
+            else:
+                self.shards[b] = np.frombuffer(
+                    row["shard"], dtype=np.uint8
+                ).copy()
+        self.version += 1
+
+    def shards_for(self, buckets: set[int]) -> dict[int, bytes]:
+        """The broadcast payload: only shards whose bucket is PRESENT in the
+        wave (each executor task needs exactly the shard of its own
+        host_bucket partition)."""
+        return {
+            b: self.shards[b].tobytes() for b in buckets if b in self.shards
+        }
+
+    def maybe_seen_col(
+        self, spark: SparkSession, df: DataFrame, url_col: str = "url"
+    ) -> DataFrame:
+        bits, k = self.bits, self.k
+        # which buckets does this wave touch? (tiny distinct — at most
+        # n_buckets values; this is what bounds the broadcast size)
+        present = {
+            int(r["__hb"])
+            for r in df.select(self._bucket_col(F.col(url_col))).distinct().collect()
+        }
+        bc = spark.sparkContext.broadcast(self.shards_for(present))
+
+        @F.pandas_udf("boolean")
+        def _test(hb: pd.Series, *hcols: pd.Series) -> pd.Series:
+            shards = bc.value
+            hbv = hb.to_numpy(dtype=np.int64)
+            res = np.zeros(len(hbv), dtype=bool)
+            for b in np.unique(hbv):
+                bm_bytes = shards.get(int(b))
+                if bm_bytes is None:
+                    continue  # no shard -> bucket never seen anything
+                bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+                mask = hbv == b
+                sub = np.ones(int(mask.sum()), dtype=bool)
+                for h in hcols:
+                    pos = h.to_numpy(dtype=np.int64)[mask]
+                    sub &= (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+                res[mask] = sub
+            return pd.Series(res)
+
+        hcols = _hash_cols(F.col(url_col), bits, k)
+        return df.withColumn(
+            "__maybe_seen", _test(self._bucket_col(F.col(url_col)), *hcols)
+        )
+
+    def filter_new(
+        self,
+        spark: SparkSession,
+        candidates: DataFrame,
+        seen_table: DataFrame | None,
+        url_col: str = "url",
+    ) -> DataFrame:
+        """Identical two-phase semantics to BloomSeen.filter_new."""
+        with_flag = self.maybe_seen_col(spark, candidates, url_col)
+        definitely_new = with_flag.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+        if seen_table is None:
+            return definitely_new.unionByName(
+                with_flag.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+            )
+        maybe = with_flag.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+        confirmed_new = maybe.join(
+            seen_table.select(F.col(url_col)), on=url_col, how="left_anti"
+        )
+        return definitely_new.unionByName(confirmed_new)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crawlspark.catalog import Catalog
 from crawlspark.driver import _BucketState, _run_wave
-from crawlspark.seen import BloomSeen
+from crawlspark.seen import ShardedBloomSeen
 
 # frontier stream rows carry just the page cursor; the wave builds its
 # listing URLs (render or API) from it
@@ -59,7 +59,7 @@ def stream_crawl(
         if not pages:
             return
         # rebuild cross-wave state exactly as the batch driver's resume path
-        bloom = BloomSeen()
+        bloom = ShardedBloomSeen()
         seen_df = cat.read(spark, "seen")
         if seen_df is not None:
             bloom.add_urls(seen_df)

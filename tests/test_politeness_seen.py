@@ -79,3 +79,56 @@ def test_catalog_snapshot_and_merge(spark, tmp_path):
     assert rows == {1: "a", 2: "b", 3: "c"}
     assert cat.version("t") == 2
     assert [e["version"] for e in cat.log("t")] == [1, 2]
+
+
+def test_sharded_bloom_no_url_lost_or_duplicated(spark):
+    """Property (VERDICT #8): sharded filter_new == exact set difference —
+    no URL lost, none duplicated — across multiple host_buckets."""
+    from crawlspark.seen import ShardedBloomSeen
+
+    hosts = [f"h{i}.example.com" for i in range(6)]
+    all_urls = [
+        f"https://{hosts[i % len(hosts)]}/p/{i}" for i in range(1, 1200)
+    ]
+    seen_urls = all_urls[::2]
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    cand = spark.createDataFrame([(u,) for u in all_urls], "url string")
+
+    bloom = ShardedBloomSeen(bits_per_shard=1 << 16, k=4, n_buckets=8)
+    bloom.add_urls(seen)
+    assert len(bloom.shards) >= 2, "fixture hosts landed in one bucket"
+
+    got = [r["url"] for r in bloom.filter_new(spark, cand, seen).collect()]
+    assert sorted(got) == sorted(set(all_urls) - set(seen_urls))
+    assert len(got) == len(set(got)), "duplicated URLs"
+
+
+def test_sharded_bloom_broadcasts_only_present_buckets(spark):
+    """Shard-size assertion: the broadcast payload contains exactly the
+    shards whose bucket appears in the candidate wave."""
+    from crawlspark.canonical import host_bucket, host_of
+    from crawlspark.seen import ShardedBloomSeen
+    from pyspark.sql import functions as F
+
+    hosts = [f"s{i}.example.com" for i in range(8)]
+    seen = spark.createDataFrame(
+        [(f"https://{h}/x/{j}",) for h in hosts for j in range(20)],
+        "url string",
+    )
+    bloom = ShardedBloomSeen(bits_per_shard=1 << 16, k=4, n_buckets=16)
+    bloom.add_urls(seen)
+    n_shards = len(bloom.shards)
+    assert n_shards >= 3
+
+    # wave touching ONE host -> payload must be exactly that host's shard
+    one = spark.createDataFrame(
+        [(f"https://{hosts[0]}/new/{j}",) for j in range(5)], "url string"
+    )
+    b0 = one.select(
+        host_bucket(host_of(F.col("url")), 16).alias("b")
+    ).distinct().collect()[0]["b"]
+    payload = bloom.shards_for({int(b0)})
+    assert set(payload) == ({int(b0)} & set(bloom.shards))
+    assert len(payload) <= 1 < n_shards
+    for shard in payload.values():
+        assert len(shard) == (1 << 16) // 8  # one shard, not the merged map
