@@ -38,10 +38,33 @@ def cmd_crawl(args) -> int:
     # layered config (defaults <- INI <- env, config.py analog); explicit
     # CLI flags override it
     cfg = EngineConfig.load(args.config) if args.config else EngineConfig.load()
+    # The politeness/retry budget is PINNED to the reference values — the
+    # byte-for-byte crawl-order/virtual-time parity contract is defined
+    # against them. Overrides must be loudly rejected, never silently
+    # ignored (an operator setting CRAWLSPARK_RATE_LIMIT_REQUESTS=2 would
+    # otherwise believe it took effect).
+    pinned = (
+        "wait_page_load", "wait_post_nav", "wait_between_pages",
+        "rate_limit_requests", "rate_limit_period", "max_retries",
+        "retry_delay",
+    )
+    defaults = EngineConfig()
+    overridden = [
+        k for k in pinned if getattr(cfg, k) != getattr(defaults, k)
+    ]
+    if overridden:
+        raise SystemExit(
+            "config error: the engine pins the reference politeness budget; "
+            f"cannot honor overrides of: {', '.join(overridden)} "
+            "(remove the INI/env override)"
+        )
     pages_per_wave = (
         args.pages_per_wave if args.pages_per_wave is not None
         else cfg.pages_per_wave
     )
+    pages = args.pages
+    if cfg.max_pages > 0:
+        pages = min(pages, cfg.max_pages)
     spark = _spark(args)
     spec = SiteSpec(pages=args.pages, posts_per_page=args.posts_per_page,
                     seed=args.seed)
@@ -52,10 +75,12 @@ def cmd_crawl(args) -> int:
         store,
         spec.base_url,
         args.workdir,
-        pages=spec.pages,
+        pages=pages,
         pages_per_wave=pages_per_wave,
         image_keep_bytes=cfg.image_keep_bytes,
         listing_source=cfg.listing_source,
+        n_host_buckets=cfg.host_buckets,
+        hot_host_salts=cfg.hot_host_salts,
     )
     print(json.dumps({"stats": result.stats,
                       "virtual_seconds": result.virtual_seconds,

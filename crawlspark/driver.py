@@ -101,6 +101,8 @@ def crawl(
     robots_df: DataFrame | None = None,
     hot_hosts: list[str] | None = None,
     listing_source: str = "render",
+    n_host_buckets: int = N_HOST_BUCKETS,
+    hot_host_salts: int = HOT_HOST_SALTS,
 ) -> CrawlResult:
     """Crawl the synthetic site in `page_store`, committing state under
     `workdir`. pages_per_wave=0 → everything in one wave.
@@ -112,7 +114,7 @@ def crawl(
     run_id = run_id or uuid.uuid4().hex[:12]
     # sharded by host_bucket: only shards for buckets present in a wave are
     # broadcast (seen.py scale math — a 10^10-URL filter never ships whole)
-    bloom = ShardedBloomSeen(n_buckets=N_HOST_BUCKETS)
+    bloom = ShardedBloomSeen(n_buckets=n_host_buckets)
     seen_df = cat.read(spark, "seen")
     if seen_df is not None:
         bloom.add_urls(seen_df)
@@ -151,7 +153,7 @@ def crawl(
         stats, vsec = _run_wave(
             spark, cat, bloom, page_store, base_url, run_id, wave, page_band,
             image_keep_bytes, bucket, robots_df, hot_hosts or [],
-            listing_source,
+            listing_source, n_host_buckets, hot_host_salts,
         )
         for k in totals:
             totals[k] += stats[k]
@@ -183,6 +185,8 @@ def _run_wave(
     robots_df: DataFrame | None = None,
     hot_hosts: list[str] | None = None,
     listing_source: str = "render",
+    n_host_buckets: int = N_HOST_BUCKETS,
+    hot_host_salts: int = HOT_HOST_SALTS,
 ) -> tuple[dict, float]:
     # ---- S1/S2/S3: listing fetch + P1 link extraction (source dispatch)
     links, pages_with_posts = _band_links(
@@ -208,10 +212,10 @@ def _run_wave(
     # spreads across partitions (politeness budget divides per salt)
     links = (
         links.withColumn("host", host_of(F.col("url")))
-        .withColumn("host_bucket", host_bucket(F.col("host"), N_HOST_BUCKETS))
+        .withColumn("host_bucket", host_bucket(F.col("host"), n_host_buckets))
         .withColumn(
             "salt",
-            salt_for(F.col("url"), F.col("host"), hot_hosts or [], HOT_HOST_SALTS),
+            salt_for(F.col("url"), F.col("host"), hot_hosts or [], hot_host_salts),
         )
         .repartition(F.col("host_bucket"), F.col("salt"))
     )
@@ -529,7 +533,8 @@ def _run_wave(
     # above reproduces the reference's single-session budget; at fleet scale
     # each host gets its own 5-req/10-s window, and a salt-split hot host
     # divides its budget across salts (period*k per salt) — SURVEY §7.3
-    _commit_politeness(spark, cat, links, imgs, wave, hot_hosts or [])
+    _commit_politeness(spark, cat, links, imgs, wave, hot_hosts or [],
+                       hot_host_salts)
     metrics_row = spark.createDataFrame(
         [
             (
@@ -566,6 +571,7 @@ def _commit_politeness(
     imgs: DataFrame,
     wave: int,
     hot_hosts: list[str],
+    hot_host_salts: int = HOT_HOST_SALTS,
 ) -> None:
     """Per-(host,salt) request schedule for this wave → `politeness` table.
 
@@ -586,7 +592,7 @@ def _commit_politeness(
     img_host = host_of(F.col("img_url"))
     img_ev = imgs.select(
         img_host.alias("host"),
-        salt_for(F.col("img_url"), img_host, hot_hosts, HOT_HOST_SALTS).alias(
+        salt_for(F.col("img_url"), img_host, hot_hosts, hot_host_salts).alias(
             "salt"
         ),
         (seq + F.col("img_idx")).alias("seq"),
@@ -596,7 +602,7 @@ def _commit_politeness(
     period = (
         F.when(
             F.col("host").isin(hot_hosts),
-            F.lit(RATE_LIMIT_PERIOD * HOT_HOST_SALTS),
+            F.lit(RATE_LIMIT_PERIOD * hot_host_salts),
         ).otherwise(F.lit(RATE_LIMIT_PERIOD))
         if hot_hosts
         else F.lit(RATE_LIMIT_PERIOD)

@@ -59,3 +59,40 @@ def test_rejects_unknown_key_and_bad_values(tmp_path):
         EngineConfig.load(env={"CRAWLSPARK_LISTING_SOURCE": "selenium"})
     with pytest.raises(FileNotFoundError):
         EngineConfig.load(str(tmp_path / "missing.ini"), env={})
+
+
+def test_cli_threads_engine_knobs_and_rejects_pinned(tmp_path, monkeypatch, spark):
+    """ADVICE: INI/env knobs must be either effective or loudly rejected.
+    host_buckets/hot_host_salts/max_pages thread into crawl(); politeness
+    budget overrides exit with a clear error instead of a silent no-op."""
+    import json
+
+    import pytest
+
+    from crawlspark import cli
+
+    # pinned politeness knob -> loud rejection
+    monkeypatch.setenv("CRAWLSPARK_RATE_LIMIT_REQUESTS", "2")
+    with pytest.raises(SystemExit, match="rate_limit_requests"):
+        cli.main(["crawl", "--workdir", str(tmp_path / "w0"), "--pages", "1"])
+    monkeypatch.delenv("CRAWLSPARK_RATE_LIMIT_REQUESTS")
+
+    # threadable knobs take effect: host_buckets shows up in the frontier,
+    # max_pages truncates the crawl. (cmd_crawl stops its session on exit —
+    # keep the shared test session alive.)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setenv("CRAWLSPARK_HOST_BUCKETS", "2")
+    monkeypatch.setenv("CRAWLSPARK_MAX_PAGES", "1")
+    wd = str(tmp_path / "w1")
+    rc = cli.main(
+        ["crawl", "--workdir", wd, "--pages", "3", "--posts-per-page", "6"]
+    )
+    assert rc == 0
+    from crawlspark.catalog import Catalog
+
+    cat = Catalog(wd)
+    fr = cat.read(spark, "frontier")
+    assert fr.count() > 0
+    assert {r["host_bucket"] for r in fr.collect()} <= {0, 1}
+    m = cat.read(spark, "metrics")
+    assert m.agg({"wave": "max"}).collect()[0][0] == 1  # max_pages honored
