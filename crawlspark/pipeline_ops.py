@@ -352,7 +352,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     FROM (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
              list_cosine_similarity(a.embedding, b.embedding) AS sim
-      FROM embeddings a JOIN embeddings b
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000, label,
+                   list_transform(embedding::DOUBLE[], x -> x + 0.02)
+            FROM embeddings WHERE vec_id % 50 = 0) a
+      JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000, label,
+                   list_transform(embedding::DOUBLE[], x -> x + 0.02)
+            FROM embeddings WHERE vec_id % 50 = 0) b
         ON a.vec_id < b.vec_id AND a.label = b.label)
     WHERE round(sim, 4) >= 0.9
     """,
@@ -360,8 +371,27 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup: candidate pairs blocked by label (the
     cluster id stands in for an LSH/IVF bucket — the scale path never does
-    the full cross join), cosine >= 0.9 confirmed exactly."""
-    e = _t(spark, sf_dir, "embeddings")
+    the full cross join), cosine >= 0.9 confirmed exactly.
+
+    The synthetic embeddings corpus has NO natural near-dups (max in-label
+    cosine ~0.51), which made the original query green-but-vacuous (0
+    rows). Deterministic planted near-dups (every 50th vector, +0.02 per
+    coordinate -> cos ~0.987) make the threshold path actually verified;
+    double precision on BOTH sides so round(...,4) can't straddle
+    float/double boundaries."""
+    base = _t(spark, sf_dir, "embeddings")
+    as_double = base.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.02)
+        ).alias("embedding"),
+    )
+    e = as_double.unionByName(planted)
 
     def dot(x, y):
         return F.aggregate(

@@ -106,3 +106,31 @@ def test_nonfinal_wave_replay_keeps_bucket_state_exact(spark, tmp_path):
     rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
     got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
     assert got == golden.crawl_order
+
+
+def test_per_page_checkpoint_cadence(spark, tmp_path):
+    """Legacy checkpoint-per-post cadence analog (legacy:1180): with
+    pages_per_wave=1 every page is its own checkpointed wave, so a crash
+    loses at most one page of work and resume is per-page. (Within-wave
+    granularity finer than this is subsumed by wave-atomic replay +
+    merge_new idempotence — a replayed wave never duplicates rows.)"""
+    spec = SiteSpec(pages=3, posts_per_page=6, seed=21)
+    site = build_site(spec)
+    golden = run_oracle(site)
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+    wd = str(tmp_path / "perpage")
+
+    crawl(spark, store, spec.base_url, wd, pages=3, pages_per_wave=1,
+          run_id="pp1")
+    cat = Catalog(wd)
+    waves = {e["wave"] for e in cat.log("checkpoints") if "wave" in e}
+    assert waves == {1, 2, 3}  # one checkpoint commit per page
+
+    # crash on the last page, resume: only page 3 is re-crawled
+    _rollback_last_commit(wd, "checkpoints")
+    result = crawl(spark, store, spec.base_url, wd, pages=3,
+                   pages_per_wave=1, run_id="pp2")
+    assert result.stats == golden.stats
+    rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
+    got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
+    assert got == golden.crawl_order
