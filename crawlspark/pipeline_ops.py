@@ -824,3 +824,60 @@ def multimodal_decode_resize(spark, sf_dir):
             "phash long, thumb_phash long"
         ),
     )
+
+
+# video frame-sampling: the "every k-th frame" stage of a video ingest
+# pipeline. The container has no video codec, so the "video" is the repo's
+# deterministic stand-in — a packed sequence of raw RGB frames (8 frames of
+# 16x16x3) synthesized per doc inside the SAME Arrow stage, exactly like
+# multimodal_decode_resize's encode stand-in; the Spark-side plumbing
+# (binary column -> mapInPandas -> per-frame feature rows, bytes never
+# shuffle) is the real thing. Oracle: committed expected-values parquet
+# (tests/fixtures/frames_expected.parquet, scripts/gen_multimodal_fixture.py).
+N_FRAMES = 8
+FRAME_STEP = 2  # sample every 2nd frame
+FRAME_W = FRAME_H = 16
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT d.doc_id, f.frame_idx, f.phash
+    FROM documents d
+    JOIN '/root/repo/tests/fixtures/frames_expected.parquet' f
+      USING (doc_id)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sample a video binary: ONE mapInPandas stage synthesizes the
+    packed-frame video per doc (encode stand-in), slices every FRAME_STEP-th
+    frame out of the raw bytes, and emits (doc_id, frame_idx, phash) — the
+    video bytes never leave the stage, only fixed-width features do.
+    At 100 TB the partition count bounds per-worker batch memory; sampled
+    frames cut downstream volume by FRAME_STEP x before any shuffle."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415
+
+    from crawlspark import codec
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    frame_bytes = FRAME_W * FRAME_H * 3
+
+    def pipe(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                # encode stand-in: one packed raw-RGB "video" per doc
+                video = b"".join(
+                    codec.synth_pixels(f"doc{did}_f{j}", FRAME_W, FRAME_H).tobytes()
+                    for j in range(N_FRAMES)
+                )
+                for j in range(0, N_FRAMES, FRAME_STEP):  # frame sampling
+                    raw = video[j * frame_bytes: (j + 1) * frame_bytes]
+                    px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        FRAME_H, FRAME_W, 3
+                    )
+                    out.append((int(did), j, codec.phash64(px)))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "phash"])
+
+    return d.mapInPandas(pipe, schema="doc_id long, frame_idx int, phash long")

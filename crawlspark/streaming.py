@@ -84,3 +84,65 @@ def stream_crawl(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (SURVEY §2.8 / graft brief: "custom stateful
+# operators via applyInPandasWithState"): streaming sessionization with a
+# 30-minute inactivity gap — the streaming twin of the batch st1_sessionize
+# contract query. Per-user state (open session start/last/n) lives in the
+# state store and survives micro-batches and restarts via the stream
+# checkpoint; a session is EMITTED when a later event arrives more than
+# `gap_s` after it (append mode — only closed sessions are output).
+# At scale: state is per-user-key and partitioned by the groupBy hash —
+# no global state, no driver state.
+
+SESSION_GAP_S = 1800
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """events: streaming DataFrame (user_id long, ts long epoch-seconds) ->
+    closed sessions (user_id, session_start, session_end, n_events)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["ts"])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for t in ts:
+            if last is not None and t - last > gap_s:
+                closed.append((user_id, start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

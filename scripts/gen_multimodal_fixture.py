@@ -20,10 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from crawlspark import codec  # noqa: E402
 
 N_DOCS = 20_000
-OUT = os.path.join(
+_FIXDIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "fixtures", "multimodal_expected.parquet",
+    "tests", "fixtures",
 )
+OUT = os.path.join(_FIXDIR, "multimodal_expected.parquet")
+OUT_FRAMES = os.path.join(_FIXDIR, "frames_expected.parquet")
 
 
 def main() -> None:
@@ -55,6 +57,27 @@ def main() -> None:
     )
     pq.write_table(t, OUT)
     print(f"wrote {t.num_rows} rows to {OUT}")
+
+    # frames_expected: every FRAME_STEP-th frame of the packed raw-RGB
+    # stand-in video (multimodal_frame_sample's oracle)
+    from crawlspark.pipeline_ops import FRAME_H, FRAME_STEP, FRAME_W, N_FRAMES
+
+    fr: dict[str, list] = {"doc_id": [], "frame_idx": [], "phash": []}
+    for did in range(N_DOCS):
+        for j in range(0, N_FRAMES, FRAME_STEP):
+            px = codec.synth_pixels(f"doc{did}_f{j}", FRAME_W, FRAME_H)
+            fr["doc_id"].append(did)
+            fr["frame_idx"].append(j)
+            fr["phash"].append(codec.phash64(px))
+    tf = pa.table(
+        {
+            "doc_id": pa.array(fr["doc_id"], pa.int64()),
+            "frame_idx": pa.array(fr["frame_idx"], pa.int32()),
+            "phash": pa.array(fr["phash"], pa.int64()),
+        }
+    )
+    pq.write_table(tf, OUT_FRAMES)
+    print(f"wrote {tf.num_rows} rows to {OUT_FRAMES}")
 
 
 if __name__ == "__main__":

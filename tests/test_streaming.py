@@ -99,3 +99,78 @@ def test_stream_crawl_matches_oracle(spark, site, golden, tmp_path_factory):
         for r in cat.read(spark, "checkpoints").select("wave").distinct().collect()
     )
     assert waves == [1, 2]
+
+
+def _write_events(spark, stream_dir: str, name: str, rows) -> None:
+    import glob
+    import os
+    import shutil
+
+    staging = f"{stream_dir}__staging_{name}"
+    spark.createDataFrame(rows, "user_id long, ts long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    os.makedirs(stream_dir, exist_ok=True)
+    (part,) = glob.glob(f"{staging}/part-*.parquet")
+    shutil.move(part, f"{stream_dir}/{name}.parquet")
+    shutil.rmtree(staging)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path_factory):
+    """applyInPandasWithState sessionizer: per-user state survives
+    micro-batches AND a stream restart (checkpointed state store); a later
+    event > 30 min after the open session closes and emits it. Closed
+    sessions must equal the batch 30-min-gap sessionization of the same
+    events (minus each user's final still-open session)."""
+    from crawlspark.streaming import sessionize_stream
+
+    base = tmp_path_factory.mktemp("sess_stream")
+    stream_dir = str(base / "events_in")
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "sessions_out")
+    out_schema = "user_id long, session_start long, session_end long, n_events long"
+
+    def run_available() -> None:
+        events = (
+            spark.readStream.schema("user_id long, ts long").parquet(stream_dir)
+        )
+        q = (
+            sessionize_stream(events)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sessions() -> set:
+        df = spark.read.schema(out_schema).parquet(out_dir)
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in df.collect()
+        }
+
+    # batch 1: user 1 events 0,600,1200; user 2 events 100,200 (all open)
+    _write_events(spark, stream_dir, "b1", [(1, 0), (1, 600), (1, 1200), (2, 100), (2, 200)])
+    run_available()
+    assert sessions() == set()  # nothing closed yet
+
+    # batch 2 (separate stream run = restart): user 1 jumps 5000s (> gap,
+    # closes session 0-1200/n=3); user 2 continues within gap (stays open);
+    # user 3 appears
+    _write_events(spark, stream_dir, "b2", [(1, 6200), (2, 1900), (3, 50)])
+    run_available()
+    assert sessions() == {(1, 0, 1200, 3)}
+
+    # batch 3: close user 2's session (100..1900, n=3) and user 1's second
+    # (6200, n=1) with far-future events
+    _write_events(spark, stream_dir, "b3", [(1, 90000), (2, 90000), (3, 90000)])
+    run_available()
+    assert sessions() == {
+        (1, 0, 1200, 3),  # cumulative parquet sink keeps earlier outputs
+        (1, 6200, 6200, 1),
+        (2, 100, 1900, 3),
+        (3, 50, 50, 1),
+    }
