@@ -69,11 +69,23 @@ class Catalog:
             rel = f.read().strip()
         return rel or None
 
-    def manifest(self, table: str) -> dict | None:
-        """The current snapshot's manifest: {version, data_dirs: [rel...]}."""
-        rel = self._current_manifest_rel(table)
-        if rel is None:
-            return None
+    def manifest(self, table: str, version: int | None = None) -> dict | None:
+        """A snapshot manifest: {version, data_dirs: [rel...], schema}.
+        version=None -> the current snapshot; an explicit version reads that
+        historical snapshot (time travel — old manifests and data dirs are
+        immutable and never vacuumed in this sandbox)."""
+        if version is None:
+            rel = self._current_manifest_rel(table)
+            if rel is None:
+                return None
+        else:
+            sdir = os.path.join(self._tdir(table), "snapshots")
+            if not os.path.isdir(sdir):
+                return None
+            match = [n for n in os.listdir(sdir) if n.startswith(f"v{version}-")]
+            if not match:
+                return None
+            rel = os.path.join("snapshots", match[0])
         with open(os.path.join(self._tdir(table), rel)) as f:
             return json.load(f)
 
@@ -99,8 +111,12 @@ class Catalog:
             return 0
         return int(os.path.basename(rel).split("-")[0][1:])
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        m = self.manifest(table)
+    def read(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame | None:
+        """Read the table at the current snapshot, or at an explicit
+        historical `version` (time travel)."""
+        m = self.manifest(table, version)
         if m is None:
             return None
         dirs = [os.path.join(self._tdir(table), d) for d in m["data_dirs"]]

@@ -92,3 +92,24 @@ def test_partitioned_deltas_union_with_partition_columns(spark, tmp_path):
     # latest data dir carries the physical partition layout
     snap = cat.current_snapshot("t")
     assert any(n.startswith("hb=") for n in os.listdir(snap))
+
+
+def test_time_travel_reads_historical_snapshots(spark, tmp_path):
+    """read(version=k) sees exactly the rows visible at commit k — old
+    manifests and data dirs are immutable, so snapshot-time readers keep
+    working after later appends and even after compaction."""
+    cat = Catalog(str(tmp_path))
+    for w in range(1, 4):
+        df = spark.range(w * 10, w * 10 + 3).selectExpr("id AS k")
+        cat.append(spark, df, "t", meta={"wave": w})
+    assert cat.version("t") == 3
+    v1 = sorted(r["k"] for r in cat.read(spark, "t", version=1).collect())
+    v2 = sorted(r["k"] for r in cat.read(spark, "t", version=2).collect())
+    v3 = sorted(r["k"] for r in cat.read(spark, "t").collect())
+    assert v1 == [10, 11, 12]
+    assert v2 == [10, 11, 12, 20, 21, 22]
+    assert v3 == [10, 11, 12, 20, 21, 22, 30, 31, 32]
+    cat.compact(spark, "t")  # v4 folds dirs; history still readable
+    assert sorted(r["k"] for r in cat.read(spark, "t", version=2).collect()) == v2
+    assert sorted(r["k"] for r in cat.read(spark, "t").collect()) == v3
+    assert cat.read(spark, "t", version=99) is None
