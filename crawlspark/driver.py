@@ -38,7 +38,7 @@ from crawlspark.politeness import (
     schedule,
     schedule_numpy,
 )
-from crawlspark.robots import filter_allowed
+from crawlspark.robots import ROBOTS_SCHEMA, filter_allowed, parse_robots_txt
 from crawlspark.seen import ShardedBloomSeen
 from crawlspark.sources import api_listing_url, extract_links_api
 
@@ -89,6 +89,36 @@ def _listing_frontier(spark: SparkSession, base_url: str, pages: list[int]) -> D
     return spark.createDataFrame(rows, "url string, page int")
 
 
+def _refresh_robots(
+    spark: SparkSession,
+    cat: Catalog,
+    page_store: DataFrame,
+    wave: int,
+    ttl_waves: int,
+) -> DataFrame | None:
+    """Robots cache (north rule "robots.txt caching"): fetch every
+    kind='robots' page from the store, parse into per-host prefix rules,
+    and commit the `robots` table — refreshed when the last fetch is at
+    least `ttl_waves` waves old. robots.txt bodies are tiny per-host
+    metadata, so the parse is driver-side by design; the resulting rules
+    table is what filter_allowed broadcasts."""
+    log = cat.log("robots")
+    last_fetch = max((e.get("wave", 0) for e in log), default=None)
+    if last_fetch is None or wave - last_fetch >= ttl_waves:
+        served = page_store.filter(F.col("kind") == "robots").select(
+            "url", "body"
+        ).collect()
+        rules: list[tuple] = []
+        for r in served:
+            host = r["url"].split("://", 1)[-1].split("/", 1)[0].lower()
+            rules.extend(parse_robots_txt(host, r["body"] or "", wave))
+        if not rules and last_fetch is None:
+            return None  # site serves no robots.txt
+        df = spark.createDataFrame(rules, ROBOTS_SCHEMA)
+        cat.commit(df, "robots", meta={"wave": wave})
+    return cat.read(spark, "robots")
+
+
 def crawl(
     spark: SparkSession,
     page_store: DataFrame,
@@ -103,6 +133,7 @@ def crawl(
     listing_source: str = "render",
     n_host_buckets: int = N_HOST_BUCKETS,
     hot_host_salts: int = HOT_HOST_SALTS,
+    robots_ttl_waves: int = 8,
 ) -> CrawlResult:
     """Crawl the synthetic site in `page_store`, committing state under
     `workdir`. pages_per_wave=0 → everything in one wave.
@@ -150,9 +181,16 @@ def crawl(
     for wave, page_band in enumerate(bands, start=1):
         if wave in done_waves:
             continue  # committed by a previous run; totals recomputed below
+        # robots cache: explicit robots_df wins; otherwise fetch from the
+        # page store and refresh on the TTL (north rule "robots caching")
+        eff_robots = (
+            robots_df
+            if robots_df is not None
+            else _refresh_robots(spark, cat, page_store, wave, robots_ttl_waves)
+        )
         stats, vsec = _run_wave(
             spark, cat, bloom, page_store, base_url, run_id, wave, page_band,
-            image_keep_bytes, bucket, robots_df, hot_hosts or [],
+            image_keep_bytes, bucket, eff_robots, hot_hosts or [],
             listing_source, n_host_buckets, hot_host_salts,
         )
         for k in totals:

@@ -77,6 +77,9 @@ class SiteSpec:
     # fraction of pages whose REST listing API is unavailable -> the 'auto'
     # listing source falls back to rendering (S3, legacy:313-319)
     api_missing_rate: float = 0.0
+    # robots.txt served by the site: (path_prefix, allow) rules under
+    # User-agent: * — empty tuple = no robots.txt row in the page store
+    robots_rules: tuple = ()
 
 
 @dataclass
@@ -416,9 +419,28 @@ def post_file_urls(truth: PostTruth) -> list[tuple[str, str]]:
     return out
 
 
+def robots_txt_body(rules) -> str:
+    """Render (path_prefix, allow) rules as a User-agent: * robots.txt."""
+    lines = ["User-agent: *"]
+    for path, allow in rules:
+        lines.append(f"{'Allow' if allow else 'Disallow'}: {path}")
+    return "\n".join(lines) + "\n"
+
+
 def page_store_rows(site: Site, image_size: int = 32) -> list[dict]:
     """One row per fetchable URL — the engine's synthetic network."""
     rows: list[dict] = []
+    if site.spec.robots_rules:
+        rows.append(
+            {
+                "url": f"{site.spec.base_url}/robots.txt",
+                "kind": "robots",
+                "page": None,
+                "body": robots_txt_body(site.spec.robots_rules),
+                "payload": None,
+                "fail_attempts": 0,
+            }
+        )
     for page in range(1, site.spec.pages + 1):
         rows.append(
             {

@@ -260,6 +260,20 @@ def _download_summary(has: bool, formats: list[str], n_links: int) -> str:
     return "[다운로드 없음] "
 
 
+def _robots_allowed(url: str, rules) -> bool:
+    """Longest-prefix-wins robots check (RFC 9309 §2.2.2) over the site's
+    (path_prefix, allow) rules — mirrors crawlspark.robots.filter_allowed.
+    No rules / no match => allowed."""
+    if not rules:
+        return True
+    after = url.split("://", 1)[-1]
+    path = "/" + after.split("/", 1)[1] if "/" in after else "/"
+    matching = [(len(p), allow) for p, allow in rules if path.startswith(p)]
+    if not matching:
+        return True
+    return sorted(matching)[-1][1]  # longest prefix; allow=True wins ties
+
+
 def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -> OracleResult:
     spec = site.spec
     visited: set[str] = set()
@@ -287,6 +301,8 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
         links = _extract_links(spec.base_url, html)
         pos_visit = 0
         for _title_txt, url in links:
+            if not _robots_allowed(url, site.spec.robots_rules):
+                continue  # disallowed: never visited NOR marked seen
             if url in visited:
                 continue  # global seen set (crawler.py:82)
             visited.add(url)

@@ -77,6 +77,23 @@ CHECKS = {
         "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
         "ArrowStage": r"MapInPandas",
     },
+    "multimodal_frame_sample": {
+        # the packed-frame video never leaves the Arrow stage
+        "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
+        "ArrowStage": r"MapInPandas",
+        "NoShuffle": r"^(?!.*Exchange)",
+    },
+    "s6_file_hash_manifest": {
+        # integrity manifest is a pure projection: scan -> sha2, no shuffle
+        "NoShuffle": r"^(?!.*Exchange)",
+        "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
+        "Codegen": r"WholeStageCodegen",
+    },
+    "p15_engine_proximity_detect": {
+        # proximity window is row-local string work — no shuffle, codegen
+        "NoShuffle": r"^(?!.*Exchange)",
+        "Codegen": r"WholeStageCodegen",
+    },
 }
 
 

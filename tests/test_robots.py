@@ -129,3 +129,46 @@ def test_frontier_table_partitioned_by_host_bucket(spark, tmp_path):
 
     snap = cat.current_snapshot("frontier")
     assert any(d.startswith("host_bucket=") for d in os.listdir(snap))
+
+def test_robots_fetched_from_store_and_cached_with_ttl(spark, tmp_path):
+    """North-rule robots caching: the driver fetches robots.txt from the
+    page store, commits the parsed rules to the `robots` table, refreshes
+    on the TTL, and the crawl honors the rules — matching the oracle's
+    longest-prefix semantics on the same site (disallowed posts never
+    visited nor marked seen)."""
+    from crawlspark.catalog import Catalog
+    from crawlspark.driver import crawl
+    from crawlspark.fixtures import SiteSpec, build_site, page_store_rows
+    from crawlspark.oracle import run_oracle
+    from crawlspark.schema import PAGE_STORE
+
+    spec = SiteSpec(
+        pages=4, posts_per_page=6, seed=13,
+        robots_rules=(("/community/101", False), ("/community/1013", True)),
+    )
+    site = build_site(spec)
+    golden = run_oracle(site)
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+    wd = str(tmp_path / "robots_cache")
+    result = crawl(spark, store, spec.base_url, wd, pages=4,
+                   pages_per_wave=1, run_id="rc", robots_ttl_waves=2)
+
+    # parity with the oracle under the same robots rules
+    assert result.stats == golden.stats
+    cat = Catalog(wd)
+    rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
+    got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
+    assert got == golden.crawl_order
+    seen = {r["url"] for r in cat.read(spark, "seen").collect()}
+    assert seen == golden.seen
+    # the disallow actually bit (1010..1019 except the 1013 Allow override)
+    blocked = {u for u in seen if "/community/101" in u}
+    assert blocked <= {f"{spec.base_url}/community/1013"}
+
+    # cache bookkeeping: parsed rules committed, TTL refresh at wave 3
+    robots = cat.read(spark, "robots").collect()
+    assert {(r["rule"], r["allow"]) for r in robots} == {
+        ("/community/101", False), ("/community/1013", True),
+    }
+    fetch_waves = [e["wave"] for e in cat.log("robots") if "wave" in e]
+    assert fetch_waves == [1, 3]  # ttl=2 over 4 single-page waves
