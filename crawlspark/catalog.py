@@ -52,8 +52,9 @@ def _has_parquet(d: str) -> bool:
 
 
 class Catalog:
-    def __init__(self, root: str):
+    def __init__(self, root: str, compact_threshold: int = 16):
         self.root = root
+        self.compact_threshold = compact_threshold
         os.makedirs(root, exist_ok=True)
 
     def _tdir(self, table: str) -> str:
@@ -229,6 +230,14 @@ class Catalog:
         self._commit_manifest(
             table, n, token, prev + [rel], meta, df.schema.json()
         )
+        # auto-compaction: a snapshot that is a union of many delta dirs
+        # costs one scan branch per dir on every read — fold it back to one
+        # dir once it gets wide (Iceberg's rewrite-data-files maintenance).
+        # Amortized write volume: table_size / threshold per append, vs the
+        # pre-delta design's table_size per append. The compaction commit
+        # carries no wave key, so wave-idempotent replay is unaffected.
+        if len(prev) + 1 >= self.compact_threshold:
+            self.compact(spark, table, partition_by)
         return os.path.join(self._tdir(table), rel)
 
     def merge_new(

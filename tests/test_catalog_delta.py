@@ -113,3 +113,27 @@ def test_time_travel_reads_historical_snapshots(spark, tmp_path):
     assert sorted(r["k"] for r in cat.read(spark, "t", version=2).collect()) == v2
     assert sorted(r["k"] for r in cat.read(spark, "t").collect()) == v3
     assert cat.read(spark, "t", version=99) is None
+
+
+def test_auto_compaction_bounds_manifest_width(spark, tmp_path):
+    """Appending many waves must not leave a read plan that unions one scan
+    per wave forever: once the manifest reaches compact_threshold dirs it
+    folds to one (contents unchanged, wave-idempotence untouched — the
+    compaction commit carries no wave key)."""
+    cat = Catalog(str(tmp_path), compact_threshold=5)
+    for w in range(1, 13):
+        df = spark.range(w * 100, w * 100 + 2).selectExpr("id AS k")
+        cat.append(spark, df, "t", meta={"wave": w})
+        assert len(cat.data_dirs("t")) < 5 + 1
+    rows = sorted(r["k"] for r in cat.read(spark, "t").collect())
+    assert rows == sorted(
+        k for w in range(1, 13) for k in (w * 100, w * 100 + 1)
+    )
+    # replay of an already-committed wave is still a no-op post-compaction
+    cat.append(
+        spark,
+        spark.range(0, 5).selectExpr("id AS k"),
+        "t",
+        meta={"wave": 3},
+    )
+    assert sorted(r["k"] for r in cat.read(spark, "t").collect()) == rows
