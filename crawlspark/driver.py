@@ -20,8 +20,6 @@ from __future__ import annotations
 import uuid
 from dataclasses import dataclass
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -35,8 +33,9 @@ from crawlspark.politeness import (
     RATE_LIMIT_PERIOD,
     RATE_LIMIT_REQUESTS,
     RETRY_DELAY,
+    compose_segments,
     schedule,
-    schedule_numpy,
+    segment_summaries,
 )
 from crawlspark.robots import ROBOTS_SCHEMA, filter_allowed, parse_robots_txt
 from crawlspark.seen import ShardedBloomSeen
@@ -727,11 +726,16 @@ def _virtual_seconds(
     """Reproduce the oracle's TokenBucket.now, DISTRIBUTED: the structurally-
     ordered request event frame (listing, failed attempts, post fetch, image
     fetches — 1 row per request, key columns only, no payloads) is built
-    with DataFrame ops, and ONE single-scope applyInPandas runs the exact
-    bucket recurrence with the carried cross-wave state, returning a single
-    (final_now, last-burst-times) row. Only that scalar row reaches the
-    driver — no per-post collect(), so the metrics path scales with
-    executor memory, not driver memory. Returns this wave's delta seconds.
+    with DataFrame ops, then folded by the SEGMENTED max-plus scan
+    (politeness.segment_summaries): the frame is range-partitioned on seq,
+    every partition computes its token-bucket transition matrix in parallel,
+    and the driver composes the (burst+1)^2-double summaries in seq order
+    (politeness.compose_segments). No single task ever sees the whole wave —
+    at 10^10 events each core folds its own contiguous range — and only one
+    tiny matrix per partition reaches the driver, so the metrics path scales
+    with cores, not with one core or driver memory. Bit-exact vs the
+    sequential recurrence (all sleeps are integer-valued doubles; see
+    politeness.py). Returns this wave's delta seconds.
 
     The sequential loop semantics map onto the frame exactly: each request's
     sleep_before is the sleep EMITTED by the previous event in structural
@@ -788,34 +792,29 @@ def _virtual_seconds(
         F.lit(WAIT_PAGE_LOAD).alias("emits"),
         F.lit(True).alias("is_listing"),
     )
-    ev = att.unionByName(post).unionByName(img_ev).unionByName(listing)
-
-    init_times = list(bucket.times)
-    init_now = bucket.now
-
-    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
-        emits = pdf["emits"].to_numpy(dtype="float64")
-        isl = pdf["is_listing"].to_numpy(dtype=bool)
-        sleep = np.empty(len(emits), dtype="float64")
-        sleep[0] = 0.0
-        sleep[1:] = emits[:-1]
-        sleep = np.where(isl, sleep + WAIT_BETWEEN_PAGES, sleep)
-        sleep[0] = 0.0  # wave's first listing: prior wave already advanced
-        t = schedule_numpy(sleep, init_times=init_times, init_now=init_now)
-        final = float(t[-1] + emits[-1] + WAIT_BETWEEN_PAGES)
-        hist = np.concatenate(
-            [np.asarray(init_times, dtype="float64"), t]
-        )[-RATE_LIMIT_REQUESTS:]
-        return pd.DataFrame({"final_now": [final], "times": [hist.tolist()]})
-
-    row = (
-        ev.withColumn("g", F.lit(1))
-        .groupBy("g")
-        .applyInPandas(_fold, "final_now double, times array<double>")
-        .collect()[0]
+    ev = (
+        att.unionByName(post)
+        .unionByName(img_ev)
+        .unionByName(listing)
+        # a listing's inherited sleep also carries the 1 s inter-page wait
+        # (the previous page's trailing advance, crawler.py:688)
+        .select(
+            "seq",
+            "emits",
+            F.when(F.col("is_listing"), F.lit(WAIT_BETWEEN_PAGES))
+            .otherwise(F.lit(0.0))
+            .alias("extra"),
+        )
     )
+
+    n_segments = max(2, spark.sparkContext.defaultParallelism)
+    summaries = segment_summaries(ev, n_segments)
+    folded = compose_segments(summaries, list(bucket.times), bucket.now)
+    if folded is None:
+        return 0.0
+    t_last, times, emits_last = folded
     start = bucket.now
-    bucket.now = row["final_now"]
-    bucket.times = list(row["times"])
+    # wave's trailing advance: the last event's emitted sleep + inter-page
+    bucket.now = t_last + emits_last + WAIT_BETWEEN_PAGES
+    bucket.times = times
     return bucket.now - start

@@ -73,6 +73,132 @@ def schedule_numpy(
     return t
 
 
+# ---------------------------------------------------------------------------
+# Segmented (multi-task) global fold.
+#
+# The single-scope recurrence t_i = max(t_{i-1} + a_i, t_{i-burst} + P) is a
+# max-plus linear map over the state vector (h_1..h_B, prev+sleep_in): every
+# scheduled time is max_j(s_j + c_j) for entry-state components s_j and
+# data-only offsets c_j (distributivity of + over max). So a contiguous
+# segment of the event sequence summarizes to a (B+1)x(B+1) max-plus matrix,
+# and segments COMPOSE: range-partition the events by seq, compute one matrix
+# per partition in parallel (mapInPandas), then apply the matrices to the
+# actual entry state in seq order on the driver — O(segments * B^2) driver
+# work, exact result. This removes the one-task bottleneck of folding the
+# whole wave's request frame in a single groupBy(lit(1)) task: at 10^10
+# events every core folds its own range and only (B+1)^2 doubles per
+# partition reach the driver.
+#
+# Exactness: all engine sleeps (3 s page/post nav, 5 s retry, 1 s inter-page,
+# 10 s period) are integer-valued doubles, so the regrouped additions are
+# bit-exact vs the sequential loop (float addition of integer-valued doubles
+# < 2^53 is associative). Non-integer budgets would agree to ~1 ulp.
+#
+# Event frame columns: seq (long, globally unique structural order), emits
+# (double — the sleep this event EMITS for its successor), extra (double —
+# an additional advance folded into THIS event's inherited sleep, e.g. the
+# 1 s inter-page wait before a listing). The first event of the whole
+# sequence starts from sleep 0 (the previous wave already advanced the
+# clock).
+
+_SEGMENT_SCHEMA = (
+    "min_seq long, first_extra double, emits_last double, mat array<double>"
+)
+
+
+def segment_summaries(
+    ev: DataFrame,
+    n_segments: int,
+    burst: int = RATE_LIMIT_REQUESTS,
+    period: float = RATE_LIMIT_PERIOD,
+) -> list:
+    """Range-partition (seq, emits, extra) into contiguous segments and
+    compute each segment's max-plus transition matrix in parallel.
+
+    Returns collected rows (min_seq, first_extra, emits_last, mat) — one per
+    non-empty partition; mat is the flattened (burst+1) x (burst+1) matrix
+    whose rows are [exit_prev, exit_hist_1..exit_hist_B] and whose columns
+    are the entry-state lanes [h_1..h_B, prev+sleep_in]."""
+    lanes = burst + 1
+
+    def _summarize(batches):
+        seqs, ems, exs = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                seqs.append(pdf["seq"].to_numpy(dtype=np.int64))
+                ems.append(pdf["emits"].to_numpy(dtype=np.float64))
+                exs.append(pdf["extra"].to_numpy(dtype=np.float64))
+        if not seqs:
+            return
+        seq = np.concatenate(seqs)
+        order = np.argsort(seq, kind="stable")
+        seq = seq[order]
+        em = np.concatenate(ems)[order]
+        ex = np.concatenate(exs)[order]
+        m = len(seq)
+        # C rows: [0..burst) = entry-hist basis vectors, [burst+i] = t_i lane
+        # vector; event i's rate window partner t_{i-burst} is C[i].
+        C = np.full((m + burst, lanes), -np.inf)
+        for j in range(burst):
+            C[j, j] = 0.0
+        first_cand = np.full(lanes, -np.inf)
+        first_cand[burst] = 0.0  # lane B == entry prev + sleep_in
+        for i in range(m):
+            cand = first_cand if i == 0 else C[burst + i - 1] + (em[i - 1] + ex[i])
+            C[burst + i] = np.maximum(cand, C[i] + period)
+        mat = np.concatenate([C[burst + m - 1], C[m : m + burst].ravel()])
+        yield pd.DataFrame(
+            {
+                "min_seq": [int(seq[0])],
+                "first_extra": [float(ex[0])],
+                "emits_last": [float(em[-1])],
+                "mat": [mat.tolist()],
+            }
+        )
+
+    return (
+        ev.select("seq", "emits", "extra")
+        .repartitionByRange(n_segments, "seq")
+        .sortWithinPartitions("seq")
+        .mapInPandas(_summarize, schema=_SEGMENT_SCHEMA)
+        .collect()
+    )
+
+
+def compose_segments(
+    rows: list,
+    init_times: list[float] | None = None,
+    init_now: float = 0.0,
+    burst: int = RATE_LIMIT_REQUESTS,
+) -> tuple[float, list[float], float] | None:
+    """Apply segment transition matrices to the actual entry state in seq
+    order. Returns (t_last, last-burst times, emits_last) — exactly the
+    sequential fold's final state — or None for an empty sequence."""
+    if not rows:
+        return None
+    rows = sorted(rows, key=lambda r: r["min_seq"])
+    hist = np.full(burst, -np.inf)
+    it = list(init_times or [])[-burst:]
+    if it:
+        hist[burst - len(it):] = it
+    prev = float(init_now)
+    prev_emits = 0.0
+    emits_last = 0.0
+    for idx, r in enumerate(rows):
+        # segment p's first event inherits segment p-1's trailing emit plus
+        # its own `extra`; the global first event starts from sleep 0
+        sleep_in = 0.0 if idx == 0 else prev_emits + float(r["first_extra"])
+        svec = np.concatenate([hist, [prev + sleep_in]])
+        M = np.asarray(r["mat"], dtype=np.float64).reshape(burst + 1, burst + 1)
+        out = np.max(M + svec[None, :], axis=1)
+        prev = float(out[0])
+        hist = out[1:].copy()
+        prev_emits = float(r["emits_last"])
+        emits_last = prev_emits
+    times = [float(h) for h in hist if np.isfinite(h)]
+    return prev, times, emits_last
+
+
 _SCHED_SCHEMA = T.StructType(
     [
         T.StructField("scope", T.StringType()),
