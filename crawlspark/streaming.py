@@ -31,6 +31,18 @@ from crawlspark.seen import ShardedBloomSeen
 # listing URLs (render or API) from it
 FRONTIER_STREAM_SCHEMA = "page int"
 
+# Bloom state carried ACROSS micro-batches, keyed by workdir: rebuilt from
+# the seen table only when absent (fresh process / stream restart), then
+# updated incrementally by each wave's own add_urls — O(wave delta) per
+# batch instead of O(|seen|) re-hashing every micro-batch (which is
+# quadratic total work over a long stream). Safe under foreachBatch
+# replay: a failed batch may leave extra URLs in the bloom, but the bloom
+# is a PREFILTER — membership is always confirmed by the exact anti-join
+# (seen.py filter_new), so stale positives only cost a probe, never drop
+# a URL. `rebuilds` is instrumentation for tests/bench.
+_STREAM_BLOOMS: dict[str, ShardedBloomSeen] = {}
+_BLOOM_REBUILDS: dict[str, int] = {}
+
 
 def stream_crawl(
     spark: SparkSession,
@@ -58,11 +70,17 @@ def stream_crawl(
         pages = sorted({r["page"] for r in batch_df.select("page").collect()})
         if not pages:
             return
-        # rebuild cross-wave state exactly as the batch driver's resume path
-        bloom = ShardedBloomSeen()
-        seen_df = cat.read(spark, "seen")
-        if seen_df is not None:
-            bloom.add_urls(seen_df)
+        # cross-wave bloom: rebuild from the seen table ONCE per process
+        # (restart path), then carry it across micro-batches — each wave's
+        # _run_wave adds only its own delta URLs
+        bloom = _STREAM_BLOOMS.get(workdir)
+        if bloom is None:
+            bloom = ShardedBloomSeen()
+            seen_df = cat.read(spark, "seen")
+            if seen_df is not None:
+                bloom.add_urls(seen_df)
+            _STREAM_BLOOMS[workdir] = bloom
+            _BLOOM_REBUILDS[workdir] = _BLOOM_REBUILDS.get(workdir, 0) + 1
         bucket = _BucketState()
         mlog = cat.log("metrics")
         if mlog:
