@@ -25,6 +25,11 @@ Scale notes for the 100 TB framing:
 - `merge_new` anti-joins the incoming batch against the KEY COLUMN ONLY of
   the existing table (column pruning reaches every delta scan), so a merge
   shuffles the key column of the batch, never rewrites history.
+- Manifests carry per-delta-dir key min/max stats (the Iceberg
+  manifest-entry column-stats analog): `merge_new` skips any delta dir
+  whose recorded key range cannot intersect the batch's — so a merge
+  probes only the deltas that could collide, not all history. `compact`
+  folds the per-dir stats into the rewritten dir's stats.
 - Readers see a Union of parquet scans (one per delta dir); predicate
   pushdown and column pruning apply to each branch independently. The
   manifest grows by one entry per wave — `compact()` folds the table back
@@ -42,6 +47,27 @@ import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fold_stats(stats: dict, data_dirs: list[str]) -> dict | None:
+    """Merge per-dir column ranges into one dir's stats. A column survives
+    only if every dir either has its range or was committed empty (range
+    None); a dir with NO stats entry has unknown contents, which poisons
+    every column. Returns None when nothing can be asserted."""
+    if any(rel not in stats for rel in data_dirs):
+        return None
+    per_dir = [stats[rel] for rel in data_dirs]
+    cols = set.intersection(*(set(s) for s in per_dir)) if per_dir else set()
+    out = {}
+    for c in cols:
+        ranges = [s[c] for s in per_dir if s[c] is not None]
+        out[c] = (
+            [min(r[0] for r in ranges), max(r[1] for r in ranges)]
+            if ranges
+            else None
+        )
+    return out or None
 
 
 def _has_parquet(d: str) -> bool:
@@ -116,11 +142,25 @@ class Catalog:
         self, spark: SparkSession, table: str, version: int | None = None
     ) -> DataFrame | None:
         """Read the table at the current snapshot, or at an explicit
-        historical `version` (time travel)."""
+        historical `version` (time travel). Raises ValueError for a version
+        that existed but was vacuumed (distinct from a missing table)."""
         m = self.manifest(table, version)
         if m is None:
+            # versions are monotonic: a missing version <= current was
+            # committed once and has been vacuumed — refuse loudly rather
+            # than silently returning nothing
+            if version is not None and 0 < version <= self.version(table):
+                raise ValueError(
+                    f"{table}@v{version}: snapshot vacuumed "
+                    f"(current is v{self.version(table)})"
+                )
             return None
-        dirs = [os.path.join(self._tdir(table), d) for d in m["data_dirs"]]
+        return self._read_dirs(spark, table, m["data_dirs"], m["schema"])
+
+    def _read_dirs(
+        self, spark: SparkSession, table: str, rels: list[str], schema_json: str
+    ) -> DataFrame:
+        dirs = [os.path.join(self._tdir(table), d) for d in rels]
         # an empty delta written with partitionBy leaves no part files —
         # skip such dirs (the manifest's stored schema covers the all-empty
         # case, so an errors table with zero errors still reads cleanly)
@@ -129,13 +169,41 @@ class Catalog:
             from pyspark.sql import types as T
 
             return spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(m["schema"]))
+                [], T.StructType.fromJson(json.loads(schema_json))
             )
         # one scan per delta dir (each dir is its own partition-discovery
         # root), unioned; Catalyst pushes filters/pruning into each branch
         return reduce(
             DataFrame.unionByName, (spark.read.parquet(d) for d in readable)
         )
+
+    def pruned_key_scan(
+        self, spark: SparkSession, table: str, key: str, lo, hi
+    ) -> DataFrame | None:
+        """Key-column scan of ONLY the delta dirs whose recorded key
+        [min, max] may intersect [lo, hi] (Iceberg manifest-stats pruning).
+        Dirs without stats for `key` are conservatively included; dirs whose
+        stats entry is null were committed empty and are always skipped.
+        Returns None when no dir can contain a batch key."""
+        m = self.manifest(table)
+        if m is None:
+            return None
+        stats = m.get("stats", {})
+        rels = []
+        for rel in m["data_dirs"]:
+            dir_stats = stats.get(rel)
+            if dir_stats is None or key not in dir_stats:
+                rels.append(rel)  # no stats recorded — must scan
+                continue
+            rng = dir_stats[key]
+            if rng is None:
+                continue  # delta committed with zero rows
+            if rng[0] > hi or rng[1] < lo:
+                continue  # key ranges disjoint — dir can't match the batch
+            rels.append(rel)
+        if not rels:
+            return None
+        return self._read_dirs(spark, table, rels, m["schema"]).select(key)
 
     # ------------------------------------------------------------ commits
 
@@ -163,6 +231,7 @@ class Catalog:
         data_dirs_rel: list[str],
         meta: dict | None,
         schema_json: str,
+        stats: dict | None = None,
     ) -> None:
         tdir = self._tdir(table)
         os.makedirs(os.path.join(tdir, "snapshots"), exist_ok=True)
@@ -171,7 +240,7 @@ class Catalog:
         with open(os.path.join(tdir, man_rel), "w") as f:
             json.dump(
                 {"version": n, "data_dirs": data_dirs_rel,
-                 "schema": schema_json},
+                 "schema": schema_json, "stats": stats or {}},
                 f,
             )
         with open(os.path.join(tdir, "_log", f"v{n}.json"), "w") as f:
@@ -187,14 +256,20 @@ class Catalog:
         table: str,
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        stats: dict | None = None,
     ) -> str:
-        """Full-replace commit: df becomes the table's entire next snapshot."""
+        """Full-replace commit: df becomes the table's entire next snapshot.
+        `stats`: optional per-column key range for the written dir,
+        {col: [min, max] | None-for-empty}."""
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         n = self.version(table) + 1
         token = uuid.uuid4().hex[:8]
         rel = self._write_delta(df, table, n, token, partition_by)
-        self._commit_manifest(table, n, token, [rel], meta, df.schema.json())
+        self._commit_manifest(
+            table, n, token, [rel], meta, df.schema.json(),
+            {rel: stats} if stats is not None else None,
+        )
         return os.path.join(tdir, rel)
 
     def append(
@@ -204,9 +279,12 @@ class Catalog:
         table: str,
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        stats: dict | None = None,
     ) -> str:
         """Append = write ONLY the delta as a new data dir, commit a manifest
         of previous-dirs + delta (Iceberg appendFiles; O(delta) bytes).
+        `stats`: optional {col: [min, max] | None} key range recorded for
+        the new delta dir (consumed by merge_new's dir pruning).
 
         Wave-idempotent: if ``meta['wave']`` is already recorded in this
         table's commit log (by a VISIBLE snapshot — orphan log entries past
@@ -224,11 +302,14 @@ class Catalog:
                     return self.current_snapshot(table)  # replay: no-op
         m = self.manifest(table)
         prev = m["data_dirs"] if m else []
+        prev_stats = m.get("stats", {}) if m else {}
         n = self.version(table) + 1
         token = uuid.uuid4().hex[:8]
         rel = self._write_delta(df, table, n, token, partition_by)
+        if stats is not None:
+            prev_stats = {**prev_stats, rel: stats}
         self._commit_manifest(
-            table, n, token, prev + [rel], meta, df.schema.json()
+            table, n, token, prev + [rel], meta, df.schema.json(), prev_stats
         )
         # auto-compaction: a snapshot that is a union of many delta dirs
         # costs one scan branch per dir on every read — fold it back to one
@@ -251,11 +332,30 @@ class Catalog:
     ) -> str:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (reference storage.py:44-53
         dedup-append semantics): only keys not already present are appended.
-        The anti-join probes the key column only (pruned scan per delta)."""
-        cur = self.read(spark, table)
-        if cur is not None:
-            batch = batch.join(cur.select(key), on=key, how="left_anti")
-        return self.append(spark, batch, table, meta, partition_by)
+
+        The anti-join probes the key column only (column pruning reaches
+        every delta scan) and ONLY the delta dirs whose recorded key range
+        can intersect the batch's (manifest stats pruning) — history deltas
+        that can't collide contribute zero input files. The batch's key
+        range is one tiny agg (the batch is persisted so its lineage runs
+        once); the range is recorded as the new delta's stats."""
+        persisted = batch.persist()
+        try:
+            row = persisted.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+            new = persisted
+            if lo is not None and self.exists(table):
+                cur_keys = self.pruned_key_scan(spark, table, key, lo, hi)
+                if cur_keys is not None:
+                    new = persisted.join(cur_keys, on=key, how="left_anti")
+            return self.append(
+                spark, new, table, meta, partition_by,
+                stats={key: [lo, hi] if lo is not None else None},
+            )
+        finally:
+            persisted.unpersist()
 
     def compact(
         self,
@@ -265,11 +365,61 @@ class Catalog:
     ) -> str | None:
         """Fold all delta dirs into one data dir (rewrite-data-files
         compaction). Visible contents unchanged; old dirs stay on disk for
-        snapshot-time readers (vacuum = future work, like Iceberg's)."""
-        cur = self.read(spark, table)
-        if cur is None:
+        snapshot-time readers until `vacuum`. Per-dir key stats fold into
+        the rewritten dir's stats (min of mins / max of maxes) for columns
+        every non-empty dir has stats for."""
+        m = self.manifest(table)
+        if m is None:
             return None
-        return self.commit(cur, table, {"compaction": True}, partition_by)
+        cur = self._read_dirs(spark, table, m["data_dirs"], m["schema"])
+        return self.commit(
+            cur, table, {"compaction": True}, partition_by,
+            stats=_fold_stats(m.get("stats", {}), m["data_dirs"]),
+        )
+
+    def vacuum(self, table: str, keep_last: int = 2) -> dict:
+        """Retention: keep the most recent `keep_last` snapshots, delete
+        older manifest files and every data dir no kept snapshot references
+        (Iceberg expire_snapshots + remove_orphan_files). The current
+        snapshot is always retained (keep_last is clamped to >= 1), so
+        readers of the current pointer are never affected; a time-travel
+        read of an expired version raises cleanly. Commit _log entries are
+        kept — they are tiny metadata and wave-replay idempotence needs
+        them. Returns {"snapshots_removed", "dirs_removed"}."""
+        keep_last = max(1, keep_last)
+        tdir = self._tdir(table)
+        sdir = os.path.join(tdir, "snapshots")
+        if not os.path.isdir(sdir):
+            return {"snapshots_removed": 0, "dirs_removed": 0}
+        manifests = sorted(
+            os.listdir(sdir), key=lambda n: int(n.split("-")[0][1:])
+        )
+        cur_rel = self._current_manifest_rel(table)
+        cur_name = os.path.basename(cur_rel) if cur_rel else None
+        kept = set(manifests[-keep_last:])
+        if cur_name:
+            kept.add(cur_name)  # never expire the current pointer's target
+        referenced: set[str] = set()
+        for name in kept:
+            with open(os.path.join(sdir, name)) as f:
+                referenced.update(json.load(f)["data_dirs"])
+        snapshots_removed = 0
+        for name in manifests:
+            if name not in kept:
+                os.remove(os.path.join(sdir, name))
+                snapshots_removed += 1
+        dirs_removed = 0
+        ddir = os.path.join(tdir, "data")
+        if os.path.isdir(ddir):
+            for d in sorted(os.listdir(ddir)):
+                rel = os.path.join("data", d)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(ddir, d))
+                    dirs_removed += 1
+        return {
+            "snapshots_removed": snapshots_removed,
+            "dirs_removed": dirs_removed,
+        }
 
     def drop(self, table: str) -> None:
         tdir = self._tdir(table)
