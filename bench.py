@@ -4,14 +4,24 @@ Runs the headline contract queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the crawl-engine
 fetch+parse throughput workload (bench/workload.py).
 
+Noise control (BENCH/BASELINE.md methodology, judge r2 #8): the process
+pins itself to exactly its core budget via taskset (a pandas-UDF slot
+occupies a JVM task thread AND a Python worker, so an unpinned local[N]
+borrows ~2N cores), and every query runs CRAWLSPARK_BENCH_RUNS times
+(default 3) with the best run counting — the shared host swings single-shot
+times by ~1.5x. The JSON carries n_runs, per-query run lists, and a
+relative-spread variance field so round-over-round numbers are comparable.
+
 Output: {"metric": ..., "value": <total suite seconds>, "unit": "sec",
-         "queries": {name: sec}, "sf": ..., "crawl": {...}}
+         "queries": {name: best sec}, "query_runs": {name: [sec...]},
+         "n_runs": N, "variance": {...}, "sf": ..., "crawl": {...}}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -36,11 +46,35 @@ HEADLINE = [
 ]
 
 CRAWL_BENCH_POSTS = int(os.environ.get("CRAWLSPARK_BENCH_POSTS", "500000"))
+N_RUNS = int(os.environ.get("CRAWLSPARK_BENCH_RUNS", "3"))
+
+
+def _self_pin(cpus: int) -> None:
+    """Re-exec under taskset pinned to exactly `cpus` cores (idempotent)."""
+    if os.environ.get("CRAWLSPARK_BENCH_PINNED"):
+        return
+    os.environ["CRAWLSPARK_BENCH_PINNED"] = "1"
+    try:
+        have = len(os.sched_getaffinity(0))
+    except AttributeError:
+        return
+    if have <= cpus or shutil.which("taskset") is None:
+        return
+    cores = f"0-{cpus - 1}" if cpus > 1 else "0"
+    os.execvp(
+        "taskset", ["taskset", "-c", cores, sys.executable, *sys.argv]
+    )
+
+
+def _rel_spread(runs: list[float]) -> float:
+    best = min(runs)
+    return round((max(runs) - best) / best, 3) if best > 0 else 0.0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _self_pin(cpus)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     from crawlspark.contract import Q
@@ -54,28 +88,35 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     queries: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = Q[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        runs: list[float] = []
+        n = -1
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+        best = min(runs)
+        queries[name] = best
+        query_runs[name] = runs
+        total += best
+        print(
+            f"# {name}: best {best:.2f}s of {runs} rows={n}", file=sys.stderr
+        )
 
     from pyspark.sql import functions as F
 
     from bench.workload import fetch_parse_pipeline, run_fetch_parse_bench, synth_posts
 
     # warm the Python UDF workers + Arrow path (one tiny parse job) so the
-    # timed run measures pipeline throughput, not 32 worker cold-starts;
-    # best-of-2 because the sandbox host is shared (see BENCH/BASELINE.md)
+    # timed run measures pipeline throughput, not 32 worker cold-starts
     fetch_parse_pipeline(synth_posts(spark, 2000)).agg(F.sum("posts")).collect()
-    crawl = run_fetch_parse_bench(spark, CRAWL_BENCH_POSTS)
-    second = run_fetch_parse_bench(spark, CRAWL_BENCH_POSTS)
-    if second["seconds"] < crawl["seconds"]:
-        crawl = second
+    crawl_runs = [run_fetch_parse_bench(spark, CRAWL_BENCH_POSTS) for _ in range(N_RUNS)]
+    crawl = min(crawl_runs, key=lambda c: c["seconds"])
+    crawl["runs_posts_per_s"] = [c["posts_per_sec"] for c in crawl_runs]
+    crawl["n_runs"] = N_RUNS
     total += crawl["seconds"]
     print(f"# crawl fetch+parse: {crawl}", file=sys.stderr)
 
@@ -84,9 +125,20 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "queries": queries,
+        "query_runs": query_runs,
+        "n_runs": N_RUNS,
+        "variance": {
+            "per_query_rel_spread": {
+                name: _rel_spread(runs) for name, runs in query_runs.items()
+            },
+            "crawl_rel_spread": _rel_spread(
+                [c["seconds"] for c in crawl_runs]
+            ),
+        },
         "sf": sf,
         "crawl": crawl,
-        "cpus": int(cpus),
+        "cpus": cpus,
+        "pinned": bool(shutil.which("taskset")),
     }
     print(json.dumps(out))
     spark.stop()
