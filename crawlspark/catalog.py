@@ -286,9 +286,10 @@ class Catalog:
         `stats`: optional {col: [min, max] | None} key range recorded for
         the new delta dir (consumed by merge_new's dir pruning).
 
-        Wave-idempotent: if ``meta['wave']`` is already recorded in this
-        table's commit log (by a VISIBLE snapshot — orphan log entries past
-        the current pointer don't count), the append is a no-op. A run
+        Wave-idempotent: if ``meta['wave']`` (and, under per-post checkpoint
+        cadence, the same ``chunk``/``page`` offset) is already recorded in
+        this table's commit log (by a VISIBLE snapshot — orphan log entries
+        past the current pointer don't count), the append is a no-op. A run
         killed mid-wave (after some table commits, before the checkpoint
         marker) replays the wave without duplicating rows in append-only
         tables — the Iceberg analog is committing all wave writes in one
@@ -296,9 +297,16 @@ class Catalog:
         """
         wave = (meta or {}).get("wave")
         if wave is not None:
+            chunk = (meta or {}).get("chunk")
+            page = (meta or {}).get("page")
             cur_ver = self.version(table)
             for e in self.log(table):
-                if e.get("wave") == wave and e.get("version", 0) <= cur_ver:
+                if (
+                    e.get("wave") == wave
+                    and e.get("chunk") == chunk
+                    and e.get("page") == page
+                    and e.get("version", 0) <= cur_ver
+                ):
                     return self.current_snapshot(table)  # replay: no-op
         m = self.manifest(table)
         prev = m["data_dirs"] if m else []

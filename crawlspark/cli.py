@@ -81,6 +81,8 @@ def cmd_crawl(args) -> int:
         listing_source=cfg.listing_source,
         n_host_buckets=cfg.host_buckets,
         hot_host_salts=cfg.hot_host_salts,
+        download_selector=cfg.download_selector,
+        posts_per_checkpoint=cfg.posts_per_checkpoint,
     )
     print(json.dumps({"stats": result.stats,
                       "virtual_seconds": result.virtual_seconds,

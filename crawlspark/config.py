@@ -49,10 +49,17 @@ class EngineConfig:
     # engine knobs (SURVEY §7)
     max_pages: int = 0  # 0 = unbounded (stop on empty page)
     pages_per_wave: int = 0  # 0 = single wave
+    # per-post checkpoint cadence (legacy/crawler_legacy.py:1180 checkpoints
+    # after every post): commit every K posts within a wave; 0 = wave-atomic
+    posts_per_checkpoint: int = 0
     host_buckets: int = 32
     hot_host_salts: int = 4
     listing_source: str = "render"  # render | api | auto
     image_keep_bytes: bool = True
+    # strategy-0 user CSS selector (download_detector.py:286-306); empty =
+    # disabled. Honored down to the final simple selector (`tag.c1.c2`) —
+    # the engine matches stored page source, not a live DOM.
+    download_selector: str = ""
 
     # ------------------------------------------------------------- loading
 
@@ -100,6 +107,8 @@ class EngineConfig:
             raise ValueError(f"unknown listing_source {self.listing_source!r}")
         if self.host_buckets < 1 or self.hot_host_salts < 1:
             raise ValueError("host_buckets/hot_host_salts must be >= 1")
+        if self.posts_per_checkpoint < 0:
+            raise ValueError("posts_per_checkpoint must be >= 0")
 
 
 def _coerce(raw: str, default, key: str, src: str):

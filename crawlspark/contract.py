@@ -309,6 +309,101 @@ def p15_engine_proximity_detect(spark, sf_dir):
 
 
 @register(
+    "p16_netlog_extract",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN concat('https://cdn.weolbu.example.com/net/pack_',
+                            doc_id, '.pdf')
+                ELSE NULL END AS url,
+           CASE WHEN doc_id % 5 = 0 THEN 'pdf' ELSE NULL END AS fmt
+    FROM documents
+    """,
+)
+def p16_netlog_extract(spark, sf_dir):
+    """P16 netlog CDN-request extraction (download_detector.py:333-349)
+    through the ENGINE's ops.netlog_cdn_urls / netlog_ext: a synthesized
+    double-encoded CDP performance log per doc exercises the good CDN doc
+    request (emitted twice — the in-log duplicate must dedup to one), the
+    certificate decoy, the non-CDN request, the CDN non-doc request, and a
+    non-requestWillBeSent method. The oracle knows the construction, so it
+    derives the expected survivor directly instead of parsing JSON."""
+    from crawlspark.ops import netlog_cdn_urls, netlog_ext, ordered_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    mod = F.col("doc_id") % 5
+    cdn = "https://cdn.weolbu.example.com"
+    url = (
+        F.when(mod == 0, F.concat(F.lit(f"{cdn}/net/pack_"), sid, F.lit(".pdf")))
+        .when(
+            mod == 1,
+            F.concat(F.lit(f"{cdn}/net/certificate_"), sid, F.lit(".pdf")),
+        )
+        .when(
+            mod == 2,
+            F.concat(F.lit("https://analytics.example.com/a_"), sid, F.lit(".pdf")),
+        )
+        .when(mod == 3, F.concat(F.lit(f"{cdn}/img/b_"), sid, F.lit(".png")))
+        .otherwise(F.concat(F.lit(f"{cdn}/net/resp_"), sid, F.lit(".pdf")))
+    )
+    method = F.when(mod == 4, F.lit("Network.responseReceived")).otherwise(
+        F.lit("Network.requestWillBeSent")
+    )
+    inner = F.to_json(
+        F.struct(
+            F.struct(
+                method.alias("method"),
+                F.struct(
+                    F.struct(url.alias("url")).alias("request")
+                ).alias("params"),
+            ).alias("message")
+        )
+    )
+    log_entry = F.struct(inner.alias("message"))
+    netlog = F.to_json(F.array(log_entry, log_entry))
+    urls = ordered_distinct(netlog_cdn_urls(netlog))
+    first = F.try_element_at(urls, F.lit(1))
+    return d.select(
+        "doc_id",
+        first.alias("url"),
+        F.when(first.isNotNull(), netlog_ext(first)).alias("fmt"),
+    )
+
+
+@register(
+    "p0_user_selector_detect",
+    """
+    SELECT doc_id, (doc_id % 3 = 0) AS matched
+    FROM documents
+    """,
+)
+def p0_user_selector_detect(spark, sf_dir):
+    """Strategy-0 user-selector detect (download_detector.py:286-306 +
+    config download_selector): ops.selector_to_regex translates the CSS
+    path's final simple selector into a class-token-exact page-source
+    regex; synthesized elements exercise the match, a superstring class
+    (must NOT match), and the wrong tag. The oracle derives expectations
+    from the construction — DuckDB's RE2 regex has no lookaheads, so it
+    cannot run the translated pattern itself."""
+    from crawlspark.ops import selector_to_regex
+
+    d = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 3
+    html = (
+        F.when(
+            mod == 0, F.lit('<p><span class="vip-extra asset-badge">x</span></p>')
+        )
+        .when(
+            mod == 1, F.lit('<p><span class="vip-extra2 asset-badge">x</span></p>')
+        )
+        .otherwise(F.lit('<p><div class="vip-extra asset-badge">x</div></p>'))
+    )
+    pat = selector_to_regex("section > ul > li span.vip-extra.asset-badge")
+    return d.select("doc_id", html.rlike(pat).alias("matched"))
+
+
+@register(
     "p20_session_expiry",
     """
     SELECT doc_id,

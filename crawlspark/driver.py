@@ -133,6 +133,8 @@ def crawl(
     n_host_buckets: int = N_HOST_BUCKETS,
     hot_host_salts: int = HOT_HOST_SALTS,
     robots_ttl_waves: int = 8,
+    download_selector: str = "",
+    posts_per_checkpoint: int = 0,
 ) -> CrawlResult:
     """Crawl the synthetic site in `page_store`, committing state under
     `workdir`. pages_per_wave=0 → everything in one wave.
@@ -151,8 +153,13 @@ def crawl(
 
     # a wave is complete iff its checkpoint COMMIT exists — the log entry,
     # not table rows: a replayed wave legitimately checkpoints zero rows
-    # (everything already in `seen`), and rows would miss it
-    done_waves = {e["wave"] for e in cat.log("checkpoints") if "wave" in e}
+    # (everything already in `seen`), and rows would miss it. Chunk entries
+    # (per-post cadence) carry a "chunk" key and mark only partial progress.
+    done_waves = {
+        e["wave"]
+        for e in cat.log("checkpoints")
+        if "wave" in e and e.get("chunk") is None
+    }
     # restore politeness bucket state from the last committed metrics meta
     bucket = _BucketState()
     mlog = cat.log("metrics")
@@ -190,7 +197,8 @@ def crawl(
         stats, vsec = _run_wave(
             spark, cat, bloom, page_store, base_url, run_id, wave, page_band,
             image_keep_bytes, bucket, eff_robots, hot_hosts or [],
-            listing_source, n_host_buckets, hot_host_salts,
+            listing_source, n_host_buckets, hot_host_salts, download_selector,
+            posts_per_checkpoint,
         )
         for k in totals:
             totals[k] += stats[k]
@@ -224,6 +232,8 @@ def _run_wave(
     listing_source: str = "render",
     n_host_buckets: int = N_HOST_BUCKETS,
     hot_host_salts: int = HOT_HOST_SALTS,
+    download_selector: str = "",
+    posts_per_checkpoint: int = 0,
 ) -> tuple[dict, float]:
     # ---- S1/S2/S3: listing fetch + P1 link extraction (source dispatch)
     links, pages_with_posts = _band_links(
@@ -238,7 +248,15 @@ def _run_wave(
     # exact anti-join against the persistent seen table (cross-wave)
     links = ops.first_occurrence(links, "url", ["page", "link_pos"])
     seen_df = cat.read(spark, "seen")
-    links = bloom.filter_new(spark, links, seen_df)
+    if posts_per_checkpoint > 0 and seen_df is not None:
+        # per-post cadence: same-wave committed URLs must keep their listing
+        # positions, so only PRIOR-wave seen rows filter here; committed
+        # chunks drop out of the todo set inside _run_wave_chunks instead
+        links = bloom.filter_new(
+            spark, links, seen_df.filter(F.col("wave") < wave)
+        )
+    else:
+        links = bloom.filter_new(spark, links, seen_df)
 
     # ---- W2: structural visit order within the band
     w_page = Window.partitionBy("page").orderBy("link_pos")
@@ -258,6 +276,163 @@ def _run_wave(
     )
     links = links.cache()
 
+    try:
+        if posts_per_checkpoint <= 0:
+            return _process_links(
+                spark, cat, bloom, page_store, base_url, run_id, wave,
+                links, page_band, pages_with_posts, image_keep_bytes,
+                bucket, hot_hosts or [], hot_host_salts, download_selector,
+            )
+        return _run_wave_chunks(
+            spark, cat, bloom, page_store, base_url, run_id, wave,
+            page_band, links, seen_df, image_keep_bytes, bucket,
+            hot_hosts or [], hot_host_salts, download_selector,
+            posts_per_checkpoint,
+        )
+    finally:
+        links.unpersist()
+
+
+def _run_wave_chunks(
+    spark: SparkSession,
+    cat: Catalog,
+    bloom: ShardedBloomSeen,
+    page_store: DataFrame,
+    base_url: str,
+    run_id: str,
+    wave: int,
+    page_band: list[int],
+    links: DataFrame,
+    seen_df: DataFrame | None,
+    image_keep_bytes: bool,
+    bucket: _BucketState,
+    hot_hosts: list[str],
+    hot_host_salts: int,
+    download_selector: str,
+    posts_per_checkpoint: int,
+) -> tuple[dict, float]:
+    """Per-post checkpoint cadence (legacy/crawler_legacy.py:1180 checkpoints
+    after EVERY post; the knob generalizes to every K posts): a wave's link
+    set splits into (page, pos_in_page // K) chunks, each committed through
+    the full table set with its own metrics row + checkpoint entry carrying
+    the within-wave (page, chunk) offset. A crash between chunks loses at
+    most one chunk of work: committed chunk URLs sit in `seen` (so the
+    resume's todo set excludes them without refetching — no duplicate fetch
+    tokens in the politeness accounting), positions stay stable because the
+    wave-level seen filter above only removes PRIOR-wave rows, and the
+    restored bucket state is the last committed chunk's.
+
+    Politeness exactness across chunk boundaries: the segmented max-plus
+    fold threads (times, now) chunk-to-chunk; a page's listing token is
+    accounted in its first processed chunk (skipped when a committed chunk
+    already accounted it — metrics log is the authority) and the 1 s
+    trailing inter-page wait lands only on the page's final chunk, so the
+    chunked fold reproduces the single-pass wave fold bit-for-bit."""
+    K = posts_per_checkpoint
+    todo = links
+    if seen_df is not None:
+        same = seen_df.filter(F.col("wave") == wave).select("url")
+        todo = links.join(same, "url", "left_anti")
+    todo = todo.cache()
+    # pages with any committed chunk this wave (their listing token is
+    # already accounted in a durable metrics row)
+    done_pages = {
+        e.get("page")
+        for e in cat.log("metrics")
+        if e.get("wave") == wave and e.get("chunk") is not None
+    }
+    by_page: dict[int, list[int]] = {}
+    for r in (
+        todo.select(
+            "page",
+            F.floor(F.col("pos_in_page") / K).cast("int").alias("chunk"),
+        )
+        .distinct()
+        .collect()
+    ):
+        by_page.setdefault(r["page"], []).append(r["chunk"])
+
+    totals = {
+        "pages_processed": 0,
+        "posts_processed": 0,
+        "posts_skipped": 0,
+        "posts_with_downloads": 0,
+        "files_processed": 0,
+        "errors": 0,
+    }
+    vsec_total = 0.0
+
+    def _chunk(chunk_links, listing_pages, pages_stat, chunk, page, trailing):
+        s, v = _process_links(
+            spark, cat, bloom, page_store, base_url, run_id, wave,
+            chunk_links, listing_pages, pages_stat, image_keep_bytes,
+            bucket, hot_hosts, hot_host_salts, download_selector,
+            chunk=chunk, chunk_page=page, trailing_wait=trailing,
+        )
+        for k in totals:
+            totals[k] += s[k]
+        return v
+
+    for p in page_band:
+        chunks = sorted(by_page.get(p, []))
+        if not chunks:
+            if p in done_pages:
+                continue  # fully committed before a crash; metrics has it
+            # listing-only chunk: no todo posts, but the page's listing
+            # token and trailing inter-page wait still happen exactly once
+            vsec_total += _chunk(
+                links.filter(F.lit(False)), [p], 1, 0, p, WAIT_BETWEEN_PAGES
+            )
+            continue
+        for i, c in enumerate(chunks):
+            include_listing = i == 0 and p not in done_pages
+            vsec_total += _chunk(
+                todo.filter(
+                    (F.col("page") == p)
+                    & (F.floor(F.col("pos_in_page") / K) == c)
+                ),
+                [p] if include_listing else [],
+                1 if include_listing else 0,
+                c,
+                p,
+                WAIT_BETWEEN_PAGES if i == len(chunks) - 1 else 0.0,
+            )
+
+    # wave-completion marker pass: an empty chunk committed under the plain
+    # {"wave"} meta — identical semantics to the unchunked path's final
+    # checkpoint entry, so crawl()'s done_waves logic needs no special case
+    vsec_total += _chunk(links.filter(F.lit(False)), [], 0, None, None, 0.0)
+    todo.unpersist()
+    return totals, vsec_total
+
+
+def _process_links(
+    spark: SparkSession,
+    cat: Catalog,
+    bloom: ShardedBloomSeen,
+    page_store: DataFrame,
+    base_url: str,
+    run_id: str,
+    wave: int,
+    links: DataFrame,
+    listing_pages: list[int],
+    pages_stat: int,
+    image_keep_bytes: bool,
+    bucket: _BucketState,
+    hot_hosts: list[str],
+    hot_host_salts: int,
+    download_selector: str = "",
+    chunk: int | None = None,
+    chunk_page: int | None = None,
+    trailing_wait: float = WAIT_BETWEEN_PAGES,
+) -> tuple[dict, float]:
+    """Fetch -> parse -> detect -> commit for one link set (a whole wave, or
+    one chunk of it under the per-post checkpoint cadence). `listing_pages`
+    are the pages whose listing-fetch token this call accounts; `chunk`/
+    `chunk_page` key the commits' idempotence and the checkpoint offset."""
+    wmeta: dict = {"wave": wave}
+    if chunk is not None:
+        wmeta = {"wave": wave, "chunk": chunk, "page": chunk_page}
     # ---- S4: post fetch with retry/error semantics (config.py:87-89: up to
     # MAX_FETCH_ATTEMPTS attempts, RETRY_DELAY backoff per failure — see
     # _virtual_seconds). The synthetic fetcher is deterministic (attempt k's
@@ -266,16 +441,20 @@ def _run_wave(
     # join + predicate: alive iff the body exists and fewer than
     # MAX_FETCH_ATTEMPTS attempts fail. URLs absent from the store are
     # permanently dead. Attempt counts land in the frontier/errors tables.
+    # post bodies + P16 netlog bodies in ONE links-side join: the netlog
+    # slice joins the post slice store-side (both url-keyed slices of the
+    # same cached table; at scale this is a co-keyed sort-merge join the
+    # optimizer can plan, and the frontier still joins the store once)
+    post_rows = page_store.filter(F.col("kind") == "post").select(
+        "url",
+        F.col("body").alias("post_body"),
+        F.coalesce("fail_attempts", F.lit(0)).alias("fail_attempts"),
+    )
+    netlog_rows = page_store.filter(F.col("kind") == "netlog").select(
+        "url", F.col("body").alias("netlog_json")
+    )
     fetched = (
-        links.join(
-            page_store.filter(F.col("kind") == "post").select(
-                "url",
-                F.col("body").alias("post_body"),
-                F.coalesce("fail_attempts", F.lit(0)).alias("fail_attempts"),
-            ),
-            "url",
-            "left",
-        )
+        links.join(post_rows.join(netlog_rows, "url", "left"), "url", "left")
         .withColumn(
             "fail_attempts",
             F.when(
@@ -303,7 +482,7 @@ def _run_wave(
         .withColumn("parsed", parse_post_html(F.col("post_body")))
         .select(
             "url", "post_id", "page", "pos_in_page", "link_pos",
-            "fail_attempts", "parsed", "post_body",
+            "fail_attempts", "parsed", "post_body", "netlog_json",
         )
     )
 
@@ -373,6 +552,11 @@ def _run_wave(
         ops.detect_downloads_array(
             F.col("parsed.content"), F.col("parsed.content_anchors"),
             F.col("post_body"),  # P13/P14/P15/P17 page-source strategies
+            F.col("netlog_json"),  # P16 network-log strategy
+            # strategy 0: user-configured selector (config download_selector)
+            ops.selector_to_regex(download_selector)
+            if download_selector
+            else None,
         ).alias("det"),
     ).select(
         "url",
@@ -408,22 +592,29 @@ def _run_wave(
             F.lit(False).alias("alive"), F.lit(False).alias("kept"),
         )
     )
-    # crash-replay guard: if this wave's metrics commit is already durable
-    # (mid-wave crash AFTER metrics, BEFORE checkpoint), its politeness
-    # accounting happened — re-running the recurrence over the replay's
-    # empty link set would pollute the cross-wave bucket with phantom
-    # listing tokens. Restore the bucket exactly as persisted instead.
+    # crash-replay guard: if this wave's (or chunk's) metrics commit is
+    # already durable (crash AFTER metrics, BEFORE checkpoint), its
+    # politeness accounting happened — re-running the recurrence over the
+    # replay's empty link set would pollute the cross-wave bucket with
+    # phantom listing tokens. Restore the bucket exactly as persisted.
     replayed_meta = None
     cur_mver = cat.version("metrics")
     for e in cat.log("metrics"):
-        if e.get("wave") == wave and e.get("version", 0) <= cur_mver:
+        if (
+            e.get("wave") == wave
+            and e.get("chunk") == chunk
+            and e.get("page") == chunk_page
+            and e.get("version", 0) <= cur_mver
+        ):
             replayed_meta = e
     if replayed_meta is not None:
         bucket.times = list(replayed_meta.get("bucket_times") or [])
         bucket.now = float(replayed_meta.get("bucket_now", 0.0))
         vsec = 0.0  # authoritative totals come from the metrics table
     else:
-        vsec = _virtual_seconds(spark, events, imgs, page_band, bucket)
+        vsec = _virtual_seconds(
+            spark, events, imgs, listing_pages, bucket, trailing_wait
+        )
 
     # ---- commits (snapshot catalog; one pointer swap per table)
     order_rows = links.select(
@@ -433,7 +624,7 @@ def _run_wave(
         F.lit(wave).alias("wave"),
     )
     cat.merge_new(spark, records.orderBy("post_id"), "posts", key="post_id",
-                  meta={"wave": wave})
+                  meta=dict(wmeta))
     # ---- S6: attachment payload fetch + files table (crawler.py:467-501
     # download, legacy:743-777 parse_file dispatch). Links with a recognized
     # doc extension join their payload from the store (mirrors the S5 image
@@ -477,23 +668,23 @@ def _run_wave(
     )
     cat.merge_new(
         spark, files_out.orderBy("post_id", "file_id"), "files",
-        key="file_id", meta={"wave": wave},
+        key="file_id", meta=dict(wmeta),
     )
     cat.merge_new(
         spark,
         images_out.orderBy("page", "pos_in_page", "img_idx"),
         "images",
         key="image_id",
-        meta={"wave": wave},
+        meta=dict(wmeta),
     )
     cat.merge_new(
         spark,
         links.select("url", F.lit(wave).alias("wave")),
         "seen",
         key="url",
-        meta={"wave": wave},
+        meta=dict(wmeta),
     )
-    cat.append(spark, order_rows, "crawl_order", meta={"wave": wave})
+    cat.append(spark, order_rows, "crawl_order", meta=dict(wmeta))
     # frontier state rows (FIXTURES.md §7 schema), partitioned by host_bucket;
     # state/attempt reflect the retry outcome (done after fail+1 attempts,
     # error after MAX_FETCH_ATTEMPTS)
@@ -518,7 +709,7 @@ def _run_wave(
         F.lit(wave).alias("wave"),
     )
     cat.append(
-        spark, frontier_rows, "frontier", meta={"wave": wave},
+        spark, frontier_rows, "frontier", meta=dict(wmeta),
         partition_by=["host_bucket"],
     )
     lineage = links.select(
@@ -539,8 +730,8 @@ def _run_wave(
             F.col("img_idx").alias("pos"),
         )
     )
-    cat.append(spark, lineage, "lineage", meta={"wave": wave})
-    cat.append(spark, errors_df, "errors", meta={"wave": wave})
+    cat.append(spark, lineage, "lineage", meta=dict(wmeta))
+    cat.append(spark, errors_df, "errors", meta=dict(wmeta))
     # per-partition checkpoint rows
     cp = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
         F.count("*").alias("fetched"),
@@ -559,7 +750,7 @@ def _run_wave(
         F.lit(f"wave-{wave}").alias("committed_at"),
     )
     stats = {
-        "pages_processed": pages_with_posts,
+        "pages_processed": pages_stat,
         "posts_processed": n_posts,
         "posts_skipped": n_skipped,
         "posts_with_downloads": n_downloads,
@@ -570,8 +761,8 @@ def _run_wave(
     # above reproduces the reference's single-session budget; at fleet scale
     # each host gets its own 5-req/10-s window, and a salt-split hot host
     # divides its budget across salts (period*k per salt) — SURVEY §7.3
-    _commit_politeness(spark, cat, links, imgs, wave, hot_hosts or [],
-                       hot_host_salts)
+    _commit_politeness(spark, cat, links, imgs, wave, hot_hosts,
+                       hot_host_salts, meta=dict(wmeta))
     metrics_row = spark.createDataFrame(
         [
             (
@@ -587,14 +778,14 @@ def _run_wave(
         schema.METRICS,
     )
     cat.append(
-        spark, metrics_row, "metrics", meta={"wave": wave, **bucket.to_meta()}
+        spark, metrics_row, "metrics", meta={**wmeta, **bucket.to_meta()}
     )
-    # checkpoint LAST — its presence marks the wave complete (resume token)
-    cat.append(spark, cp, "checkpoints", meta={"wave": wave})
+    # checkpoint LAST — its presence marks the wave (or chunk) complete;
+    # a chunk's entry records the within-wave (page, chunk) offset
+    cat.append(spark, cp, "checkpoints", meta=dict(wmeta))
 
     # update bloom with this wave's URLs
     bloom.add_urls(links)
-    links.unpersist()
     fetched.unpersist()
     posts.unpersist()
     images_out.unpersist()
@@ -609,6 +800,7 @@ def _commit_politeness(
     wave: int,
     hot_hosts: list[str],
     hot_host_salts: int = HOT_HOST_SALTS,
+    meta: dict | None = None,
 ) -> None:
     """Per-(host,salt) request schedule for this wave → `politeness` table.
 
@@ -663,7 +855,7 @@ def _commit_politeness(
             "finish_at", F.lit(wave).alias("wave"),
         )
     )
-    cat.append(spark, summary, "politeness", meta={"wave": wave})
+    cat.append(spark, summary, "politeness", meta=meta or {"wave": wave})
 
 
 def _band_links(
@@ -720,8 +912,9 @@ def _virtual_seconds(
     spark: SparkSession,
     events: DataFrame,
     imgs: DataFrame,
-    page_band: list[int],
+    listing_pages: list[int],
     bucket: _BucketState,
+    trailing_wait: float = WAIT_BETWEEN_PAGES,
 ) -> float:
     """Reproduce the oracle's TokenBucket.now, DISTRIBUTED: the structurally-
     ordered request event frame (listing, failed attempts, post fetch, image
@@ -786,7 +979,7 @@ def _virtual_seconds(
         F.lit(False).alias("is_listing"),
     )
     listing = spark.createDataFrame(
-        [(p,) for p in page_band], "page int"
+        [(p,) for p in listing_pages], "page int"
     ).select(
         (F.col("page").cast("long") * 1_000_000_000_000).alias("seq"),
         F.lit(WAIT_PAGE_LOAD).alias("emits"),
@@ -814,7 +1007,9 @@ def _virtual_seconds(
         return 0.0
     t_last, times, emits_last = folded
     start = bucket.now
-    # wave's trailing advance: the last event's emitted sleep + inter-page
-    bucket.now = t_last + emits_last + WAIT_BETWEEN_PAGES
+    # trailing advance: the last event's emitted sleep, plus the 1 s
+    # inter-page wait when this call ends a page (always, except a mid-page
+    # chunk under the per-post checkpoint cadence — trailing_wait=0 there)
+    bucket.now = t_last + emits_last + trailing_wait
     bucket.times = times
     return bucket.now - start

@@ -38,6 +38,49 @@ IMG_HOST_WEIGHTS = [0.55, 0.25, 0.15, 0.05]
 
 UI_NOISE_LINES = ["로그인", "회원가입", "메뉴", "검색", "홈", "마이페이지"]
 
+# Strategy-0 fixture element (download_detector.py:286-306): its text ("자료실
+# 이용권") carries NO download keyword, references no filename, and is not an
+# anchor — only a user-supplied selector matching the span's classes finds it.
+CUSTOM_BADGE_HTML = '<span class="vip-extra asset-badge">자료실 이용권</span>'
+# canonical selector for tests/docs: ancestor combinators are honored only to
+# the final simple selector (the engine matches stored source, not a live DOM)
+CUSTOM_BADGE_SELECTOR = "section > ul > li span.vip-extra.asset-badge"
+
+# netlog request-URL doc gate — mirror of the reference's in-loop regex
+# (download_detector.py:340 `\.(pdf|pptx?|docx?|hwp|xlsx?)` IGNORECASE)
+_NETLOG_DOC_RE = re.compile(r"\.(pdf|pptx?|docx?|hwp|xlsx?)", re.I)
+_NETLOG_CERT = ("원격평생교육원", "certificate", "인증서", "증명서", "수료증")
+_FMT_NORM = {"ppt": "pptx", "doc": "docx", "xls": "xlsx"}
+
+
+_DL_KEYWORDS = ("다운로드", "download", "첨부파일")
+
+
+def affordance_fires(dom_affordance: str | None, notice_lines: list[str]) -> bool:
+    """Truth-level mirror of the DOM-affordance regex over the rendered page
+    (the P16 netlog gate): the dedicated span/button/div element, or any
+    notice <div> whose text carries a download keyword — prox-positive and
+    CDN-note lines both do."""
+    if dom_affordance is not None:
+        return True
+    return any(k in ln.lower() for ln in notice_lines for k in _DL_KEYWORDS)
+
+
+def netlog_doc_fmt(url: str) -> str | None:
+    """Normalized doc format a netlog request URL would contribute, or None
+    if the reference's netlog scan would skip it (non-CDN, non-doc, or
+    certificate — download_detector.py:338-349)."""
+    if CDN_HOST not in url:
+        return None
+    low = url.lower()
+    if not _NETLOG_DOC_RE.search(low):
+        return None
+    if any(p.lower() in low for p in _NETLOG_CERT):
+        return None
+    last = low.rsplit("/", 1)[-1].split("?")[0]
+    ext = last.rsplit(".", 1)[-1] if "." in last else ""
+    return _FMT_NORM.get(ext, ext)
+
 WORDS = (
     "서울 아파트 전세 매매 분양 청약 금리 대출 투자 상승 하락 규제 정책 "
     "단지 평형 호가 실거래 임대 갭투자 재건축 리모델링 학군 역세권"
@@ -80,6 +123,14 @@ class SiteSpec:
     # robots.txt served by the site: (path_prefix, allow) rules under
     # User-agent: * — empty tuple = no robots.txt row in the page store
     robots_rules: tuple = ()
+    # P16: fraction of posts that emit a performance-log row (kind='netlog',
+    # download_detector.py:333-349 shape); CDN doc requests in it merge into
+    # detection only when generic download buttons fired
+    netlog_rate: float = 0.0
+    # Strategy-0 user selector (download_detector.py:286-306): fraction of
+    # posts carrying CUSTOM_BADGE_HTML — an element NO built-in strategy
+    # matches, detectable only via a configured download_selector
+    custom_badge_rate: float = 0.0
 
 
 @dataclass
@@ -108,6 +159,11 @@ class PostTruth:
     dom_affordance: str | None = None
     notice_lines: list[str] = field(default_factory=list)
     cdn_note_url: str | None = None
+    # P16 performance-log entries as (method, request_url) in log order;
+    # rendered into a kind='netlog' page-store row when non-empty
+    netlog_entries: list[tuple[str, str]] = field(default_factory=list)
+    # strategy-0 element only a user-configured selector detects
+    custom_badge: str | None = None
 
 
 @dataclass
@@ -228,6 +284,46 @@ def _make_post(spec: SiteSpec, page: int, pos: int, pid: int) -> PostTruth:
         if "pdf" not in fmts:
             fmts.append("pdf")
 
+    # P16 netlog + strategy-0 badge — SEPARATE rng streams so pre-round-3
+    # fixture draws (and every test pinned to them) are unchanged
+    badge_rng = _rng(spec, "badge", pid)
+    custom_badge = (
+        CUSTOM_BADGE_HTML if badge_rng.random() < spec.custom_badge_rate else None
+    )
+    net_rng = _rng(spec, "netlog", pid)
+    netlog_entries: list[tuple[str, str]] = []
+    if net_rng.random() < spec.netlog_rate:
+        fmt = net_rng.choice(["pdf", "pptx", "hwp", "xlsx", "docx"])
+        good = f"https://{CDN_HOST}/net/pack_{post_id}.{fmt}"
+        netlog_entries.append(("Network.requestWillBeSent", good))
+        if net_rng.random() < 0.3:  # in-log duplicate — dedup must keep one
+            netlog_entries.append(("Network.requestWillBeSent", good))
+        if net_rng.random() < 0.3:  # certificate decoy — filtered
+            netlog_entries.append((
+                "Network.requestWillBeSent",
+                f"https://{CDN_HOST}/net/certificate_{post_id}.pdf",
+            ))
+        if net_rng.random() < 0.4:  # non-CDN request — ignored
+            netlog_entries.append((
+                "Network.requestWillBeSent",
+                f"https://analytics.example.com/beacon_{post_id}.js",
+            ))
+        if net_rng.random() < 0.4:  # CDN non-doc — doc gate rejects
+            netlog_entries.append((
+                "Network.requestWillBeSent",
+                f"https://{CDN_HOST}/img/banner_{post_id}.png",
+            ))
+        if net_rng.random() < 0.3:  # other CDP method — ignored
+            netlog_entries.append((
+                "Network.responseReceived",
+                f"https://{CDN_HOST}/net/resp_{post_id}.pdf",
+            ))
+        net_rng.shuffle(netlog_entries)
+        # netlog hits only merge when generic download buttons fired
+        # (download_detector.py:306-349) — truth mirrors that gate
+        if affordance_fires(dom_affordance, notice_lines) and fmt not in fmts:
+            fmts.append(fmt)
+
     # retry/error path: dead posts never serve; flaky posts fail 1-2 attempts
     roll2 = rng.random()
     if roll2 < spec.dead_rate:
@@ -256,6 +352,8 @@ def _make_post(spec: SiteSpec, page: int, pos: int, pid: int) -> PostTruth:
         dom_affordance=dom_affordance,
         notice_lines=notice_lines,
         cdn_note_url=cdn_note_url,
+        netlog_entries=netlog_entries,
+        custom_badge=custom_badge,
     )
 
 
@@ -372,6 +470,7 @@ def render_post_html(site: Site, truth: PostTruth) -> str:
         f'<div class="notice">{ln}</div>' for ln in truth.notice_lines
     )
     affordance = truth.dom_affordance or ""
+    badge = truth.custom_badge or ""
     return (
         f"<html><head><title>{truth.title} : 월급쟁이부자들</title></head><body>\n"
         f"<nav>{' '.join(UI_NOISE_LINES)}</nav>\n"
@@ -381,6 +480,7 @@ def render_post_html(site: Site, truth: PostTruth) -> str:
         f'<span class="date" title="{truth.created_at}">{truth.created_at}</span>\n'
         f'<div class="post-content">{content}\n{imgs}\n{attach}</div>\n'
         f"{notices}\n{affordance}\n"
+        f'<section class="extras"><ul><li>{badge}</li></ul></section>\n'
         f"</body></html>"
     )
 
@@ -416,7 +516,40 @@ def post_file_urls(truth: PostTruth) -> list[tuple[str, str]]:
             out.append((href_tmpl.format(cdn=CDN_HOST, pid=truth.post_id), fmt))
     if truth.cdn_note_url:  # P13 CDN direct link is fetchable too
         out.append((truth.cdn_note_url, "pdf"))
+    if affordance_fires(truth.dom_affordance, truth.notice_lines):
+        # P16: netlog CDN doc hits enter file_sources only behind the
+        # download-button gate, so only then do they need a payload row
+        for method, u in truth.netlog_entries:
+            if method != "Network.requestWillBeSent":
+                continue
+            fmt = netlog_doc_fmt(u)
+            if fmt in DOC_FMTS and all(u != eu for eu, _ in out):
+                out.append((u, fmt))
     return out
+
+
+def render_netlog_json(truth: PostTruth) -> str:
+    """Chrome performance-log shape (download_detector.py:333-338): a JSON
+    array of entries whose `message` field is itself a JSON STRING wrapping
+    {"message": {"method": ..., "params": {"request": {"url": ...}}}} —
+    the double encoding `json.loads(entry['message'])['message']` expects."""
+    import json
+
+    entries = [
+        {
+            "message": json.dumps(
+                {
+                    "message": {
+                        "method": method,
+                        "params": {"request": {"url": url}},
+                    }
+                },
+                ensure_ascii=False,
+            )
+        }
+        for method, url in truth.netlog_entries
+    ]
+    return json.dumps(entries, ensure_ascii=False)
 
 
 def robots_txt_body(rules) -> str:
@@ -493,6 +626,17 @@ def page_store_rows(site: Site, image_size: int = 32) -> list[dict]:
                     "page": None,
                     "body": None,
                     "payload": codec.encode_doc(file_url, fmt),
+                    "fail_attempts": 0,
+                }
+            )
+        if truth.netlog_entries:
+            rows.append(
+                {
+                    "url": truth.url,  # keyed (url, kind) next to the post row
+                    "kind": "netlog",
+                    "page": None,
+                    "body": render_netlog_json(truth),
+                    "payload": None,
                     "fail_attempts": 0,
                 }
             )

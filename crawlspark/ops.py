@@ -8,6 +8,8 @@ whole-stage codegen and Catalyst is free to push filters below it.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -418,8 +420,99 @@ def cdn_direct_link(page_html: Column) -> Column:
     return F.regexp_extract(F.coalesce(page_html, F.lit("")), CDN_URL_PATTERN, 0)
 
 
+# ---------------------------------------- strategy 0: user-supplied selector
+
+
+def selector_to_regex(selector: str) -> str:
+    """Translate a CSS selector into a page-source regex (strategy 0,
+    download_detector.py:286-306 + config download_selector knob).
+
+    The engine matches STORED page source, not a live DOM, so ancestor
+    combinators are honored only down to the final simple selector — the
+    reference's deep user selector ends in `... > span` and in practice
+    targets that final element. Supported shape: `tag.class1.class2`
+    (classes matched as exact whitespace-delimited tokens, any order)."""
+    last = _re.split(r"[>\s]+", selector.strip())[-1]
+    parts = last.split(".")
+    tag = _re.escape(parts[0]) if parts[0] else r"\w+"
+    classes = [c for c in parts[1:] if c]
+    lookaheads = "".join(
+        rf'(?=[^>]*class="(?:[^"]* )?{_re.escape(c)}(?: [^"]*)?")'
+        for c in classes
+    )
+    return rf"<{tag}\b{lookaheads}[^>]*>"
+
+
+# ------------------------------------------------- P16: network-log strategy
+
+CDN_HOST_MARK = "cdn.weolbu.example.com"  # fixture stand-in for cdn.weolbu.com
+# the reference's in-loop gate (download_detector.py:340, IGNORECASE —
+# applied to the lowercased URL here)
+NETLOG_DOC_GATE = r"\.(pdf|pptx?|docx?|hwp|xlsx?)"
+# extract_file_extension keyword table IN DICT ORDER (download_detector.py:
+# 64-70, 201-206): the first keyword found anywhere in the lowercased URL
+# wins, already normalized. The URL-pattern fallback (py:208-214) can never
+# fire for gated URLs — the gate guarantees a doc-ext substring exists.
+NETLOG_EXT_KEYWORDS = [
+    ("pdf", "pdf"),
+    ("pptx", "pptx"), ("ppt", "pptx"), ("powerpoint", "pptx"),
+    ("프레젠테이션", "pptx"),
+    ("docx", "docx"), ("doc", "docx"), ("word", "docx"), ("워드", "docx"),
+    ("xlsx", "xlsx"), ("xls", "xlsx"), ("excel", "xlsx"), ("엑셀", "xlsx"),
+    ("hwp", "hwp"), ("한글", "hwp"),
+]
+
+_NETLOG_ENTRY_SCHEMA = "array<struct<message:string>>"
+_NETLOG_MSG_SCHEMA = (
+    "struct<message:struct<method:string,"
+    "params:struct<request:struct<url:string>>>>"
+)
+
+
+def netlog_ext(url: Column) -> Column:
+    """extract_file_extension (download_detector.py:191-216) for netlog
+    URLs: first keyword hit in dict order, pre-normalized."""
+    low = F.lower(url)
+    expr: Column = F.lit("")
+    for kw, fmt in reversed(NETLOG_EXT_KEYWORDS):
+        expr = F.when(low.contains(kw), F.lit(fmt)).otherwise(expr)
+    return expr
+
+
+def netlog_cdn_urls(netlog_json: Column) -> Column:
+    """P16 (download_detector.py:333-349): CDN doc request URLs from a
+    performance log, in log order. Two nested from_json calls undo the CDP
+    double encoding; method / CDN-host / doc-ext / certificate filters are
+    all JVM HOFs — the log body never leaves the row."""
+    entries = F.from_json(
+        F.coalesce(netlog_json, F.lit("[]")), _NETLOG_ENTRY_SCHEMA
+    )
+    msgs = F.transform(
+        entries,
+        lambda e: F.from_json(e["message"], _NETLOG_MSG_SCHEMA)["message"],
+    )
+    urls = F.transform(
+        F.filter(
+            msgs,
+            lambda m: m["method"] == F.lit("Network.requestWillBeSent"),
+        ),
+        lambda m: m["params"]["request"]["url"],
+    )
+    return F.filter(
+        urls,
+        lambda u: u.isNotNull()
+        & u.contains(CDN_HOST_MARK)
+        & F.lower(u).rlike(NETLOG_DOC_GATE)
+        & ~_fname_cert(u),
+    )
+
+
 def detect_downloads_array(
-    content: Column, content_anchors: Column, page_html: Column | None = None
+    content: Column,
+    content_anchors: Column,
+    page_html: Column | None = None,
+    netlog_json: Column | None = None,
+    user_selector_pattern: str | None = None,
 ) -> Column:
     """P11-P19 + A3/A4 as pure array expressions: returns
     struct(has_download, file_formats, file_sources, _download_summary).
@@ -429,7 +522,17 @@ def detect_downloads_array(
     271-433): anchors + content refs + DOM affordances (P14/P17) +
     proximity-window page-source scan (P15) + CDN direct link (P13, added
     to file_sources only when a proximity match fired and the URL isn't
-    already present — the reference's in-loop re.search semantics)."""
+    already present — the reference's in-loop re.search semantics).
+
+    `netlog_json` adds P16 (download_detector.py:333-349): CDN doc request
+    URLs from the performance log merge into file_sources/file_formats, but
+    only when the generic download-button affordance fired (the reference
+    runs the netlog scan inside its `if download_buttons:` branch).
+
+    `user_selector_pattern` adds strategy 0 (download_detector.py:286-306):
+    a pre-compiled selector regex (ops.selector_to_regex) matched against
+    the page source sets has_download alone — the user element carries no
+    href, so it contributes no links or formats."""
     anchors = F.coalesce(
         content_anchors,
         F.array().cast("array<struct<href:string,text:string>>"),
@@ -492,6 +595,8 @@ def detect_downloads_array(
         )
     )
     anchor_has = F.exists(anchors, detected)
+    empty_str_arr = F.array().cast("array<string>")
+    net_fmts = empty_str_arr
     if page_html is not None:
         dom_has = dom_affordance_flag(page_html)
         prox = proximity_formats(page_html)
@@ -505,12 +610,33 @@ def detect_downloads_array(
             & ~F.array_contains(file_sources, cdn),
             F.concat(file_sources, F.array(cdn)),
         ).otherwise(file_sources)
+        if netlog_json is not None:
+            # P16: netlog CDN hits merge only behind the button gate, and
+            # only URLs not already collected (py:345 `not any(... == url)`)
+            net_new = ordered_distinct(
+                F.filter(
+                    F.when(dom_has, netlog_cdn_urls(netlog_json)).otherwise(
+                        empty_str_arr
+                    ),
+                    lambda u: ~F.array_contains(file_sources, u),
+                )
+            )
+            file_sources = F.concat(file_sources, net_new)
+            net_fmts = F.transform(net_new, netlog_ext)
     else:
         dom_has = F.lit(False)
-        prox = F.array().cast("array<string>")
-    has = anchor_has | (F.size(ref_formats) > 0) | dom_has | (F.size(prox) > 0)
+        prox = empty_str_arr
+    sel_has = (
+        F.coalesce(page_html, F.lit("")).rlike(user_selector_pattern)
+        if (user_selector_pattern and page_html is not None)
+        else F.lit(False)
+    )
+    has = (
+        anchor_has | (F.size(ref_formats) > 0) | dom_has | (F.size(prox) > 0)
+        | sel_has
+    )
     formats = F.array_distinct(
-        F.concat(anchor_formats, ref_formats, prox)
+        F.concat(anchor_formats, ref_formats, prox, net_fmts)
     )
     return F.struct(
         has.alias("has_download"),

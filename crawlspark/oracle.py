@@ -36,6 +36,7 @@ from crawlspark.fixtures import (
     image_fmt_of,
     image_payload,
     render_listing_html,
+    render_netlog_json,
     render_post_html,
 )
 
@@ -71,6 +72,64 @@ CDN_URL_RE = re.compile(
     r"https?://cdn\.weolbu\.example\.com/(?:[A-Za-z0-9_\-]+/)?"
     r"[가-힣A-Za-z0-9_\-\[\]\(\)]+\.(?:pdf|pptx?|docx?|hwp|xlsx?|xls)"
 )
+# P16 netlog strategy (download_detector.py:333-349): CDN host marker,
+# doc-extension gate, and the extract_file_extension keyword table in dict
+# order (py:64-70) — the first keyword found in the lowercased URL wins
+CDN_HOST_MARK = "cdn.weolbu.example.com"
+NETLOG_DOC_RE = re.compile(r"\.(pdf|pptx?|docx?|hwp|xlsx?)")
+NETLOG_EXT_KEYWORDS = [
+    ("pdf", "pdf"),
+    ("pptx", "pptx"), ("ppt", "pptx"), ("powerpoint", "pptx"),
+    ("프레젠테이션", "pptx"),
+    ("docx", "docx"), ("doc", "docx"), ("word", "docx"), ("워드", "docx"),
+    ("xlsx", "xlsx"), ("xls", "xlsx"), ("excel", "xlsx"), ("엑셀", "xlsx"),
+    ("hwp", "hwp"), ("한글", "hwp"),
+]
+
+
+def _selector_re(selector: str) -> "re.Pattern[str]":
+    """Strategy-0 user selector (download_detector.py:286-306) as a
+    page-source regex: final simple selector `tag.c1.c2`, classes as exact
+    whitespace tokens in any order. Independent restatement of the engine's
+    ops.selector_to_regex semantics."""
+    last = re.split(r"[>\s]+", selector.strip())[-1]
+    parts = last.split(".")
+    tag = re.escape(parts[0]) if parts[0] else r"\w+"
+    looks = "".join(
+        rf'(?=[^>]*class="(?:[^"]* )?{re.escape(c)}(?: [^"]*)?")'
+        for c in parts[1:]
+        if c
+    )
+    return re.compile(rf"<{tag}\b{looks}[^>]*>")
+
+
+def _netlog_request_urls(netlog_json: str) -> list[str]:
+    """requestWillBeSent CDN doc URLs in log order, cert-filtered
+    (download_detector.py:333-344) — undoes the CDP double encoding."""
+    import json
+
+    out: list[str] = []
+    for entry in json.loads(netlog_json):
+        msg = json.loads(entry.get("message", "{}")).get("message", {})
+        if msg.get("method") != "Network.requestWillBeSent":
+            continue
+        u = msg.get("params", {}).get("request", {}).get("url", "")
+        if (
+            CDN_HOST_MARK in u
+            and NETLOG_DOC_RE.search(u.lower())
+            and not any(p.lower() in u.lower() for p in CERT_PATTERNS)
+        ):
+            out.append(u)
+    return out
+
+
+def _netlog_ext(url: str) -> str:
+    """extract_file_extension keyword scan (download_detector.py:191-216)."""
+    low = url.lower()
+    for kw, fmt in NETLOG_EXT_KEYWORDS:
+        if kw in low:
+            return fmt
+    return ""
 
 
 @dataclass
@@ -173,9 +232,16 @@ def _image_urls(base_url: str, html: str) -> list[str]:
     return out
 
 
-def _detect_downloads(html: str, content: str) -> tuple[bool, list[str], list[str]]:
+def _detect_downloads(
+    html: str,
+    content: str,
+    netlog_json: str | None = None,
+    selector_re: "re.Pattern[str] | None" = None,
+) -> tuple[bool, list[str], list[str]]:
     """Anchor + content-reference + keyword detection with certificate filter
-    and format normalization (download_detector.py:64-79, 170-267, 271-469).
+    and format normalization (download_detector.py:64-79, 170-267, 271-469),
+    plus P16 netlog merge (py:333-349, button-gated) and the strategy-0 user
+    selector (py:286-306, has_download only).
 
     Returns (has_download, formats, link_urls)."""
     formats: list[str] = []
@@ -243,6 +309,19 @@ def _detect_downloads(html: str, content: str) -> tuple[bool, list[str], list[st
                 and cdn not in links
             ):
                 links.append(cdn)
+    # P16 netlog merge (download_detector.py:333-349): only when the generic
+    # download-button affordance fired (the reference's `if download_buttons:`)
+    if netlog_json and DOM_AFFORDANCE_RE.search(html.lower()):
+        for u in _netlog_request_urls(netlog_json):
+            if u in links:
+                continue
+            links.append(u)
+            f = _netlog_ext(u)
+            if f and f not in formats:
+                formats.append(f)
+    # strategy 0: user-supplied selector — has_download only, no links/formats
+    if selector_re is not None and selector_re.search(html):
+        has = True
     return has, formats, links
 
 
@@ -274,8 +353,14 @@ def _robots_allowed(url: str, rules) -> bool:
     return sorted(matching)[-1][1]  # longest prefix; allow=True wins ties
 
 
-def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -> OracleResult:
+def run_oracle(
+    site: Site,
+    max_pages: int | None = None,
+    image_size: int = 32,
+    download_selector: str = "",
+) -> OracleResult:
     spec = site.spec
+    selector_re = _selector_re(download_selector) if download_selector else None
     visited: set[str] = set()
     crawl_order: list[tuple[int, str, int, int]] = []
     records: dict[str, dict] = {}
@@ -371,7 +456,12 @@ def run_oracle(site: Site, max_pages: int | None = None, image_size: int = 32) -
                 )
                 stats["files_processed"] += 1
 
-            has_dl, formats, link_urls = _detect_downloads(phtml, content)
+            netlog_json = (
+                render_netlog_json(truth) if truth.netlog_entries else None
+            )
+            has_dl, formats, link_urls = _detect_downloads(
+                phtml, content, netlog_json, selector_re
+            )
             if has_dl:
                 stats["posts_with_downloads"] += 1
             # S6 attachment payload fetch (crawler.py:467-501 download +

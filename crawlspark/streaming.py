@@ -64,7 +64,11 @@ def stream_crawl(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         wave = batch_id + 1
         cat = Catalog(workdir)
-        done = {e["wave"] for e in cat.log("checkpoints") if "wave" in e}
+        done = {
+            e["wave"]
+            for e in cat.log("checkpoints")
+            if "wave" in e and e.get("chunk") is None
+        }
         if wave in done:
             return  # foreachBatch retry of a committed wave — no-op
         pages = sorted({r["page"] for r in batch_df.select("page").collect()})

@@ -9,6 +9,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from crawlspark.catalog import Catalog
 from crawlspark.driver import crawl
 from crawlspark.fixtures import SiteSpec, build_site, page_store_rows
@@ -106,6 +108,110 @@ def test_nonfinal_wave_replay_keeps_bucket_state_exact(spark, tmp_path):
     rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
     got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
     assert got == golden.crawl_order
+
+
+CHUNK_SPEC = SiteSpec(pages=2, posts_per_page=9, seed=5, max_images=6)
+
+
+def test_per_post_checkpoint_chunked_equivalence(spark, tmp_path):
+    """posts_per_checkpoint=3 splits each page-wave into 3-post chunk
+    commits; final state AND politeness virtual time must equal the
+    oracle's single-pass run exactly (the chunked max-plus fold threads
+    bucket state across chunk boundaries bit-for-bit)."""
+    site = build_site(CHUNK_SPEC)
+    golden = run_oracle(site)
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+    wd = str(tmp_path / "chunked")
+    result = crawl(spark, store, CHUNK_SPEC.base_url, wd, pages=2,
+                   pages_per_wave=1, posts_per_checkpoint=3, run_id="ck1")
+    assert result.stats == golden.stats
+    assert result.virtual_seconds == golden.virtual_seconds
+
+    cat = Catalog(wd)
+    rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
+    got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
+    assert got == golden.crawl_order
+    # the checkpoint log records within-wave (page, chunk) offsets, and the
+    # per-wave completion markers still exist for done_waves
+    offsets = {
+        (e["page"], e["chunk"])
+        for e in cat.log("checkpoints")
+        if e.get("chunk") is not None
+    }
+    expected = {(p, pos // 3) for _, _, p, pos in golden.crawl_order}
+    assert expected <= offsets
+    assert len(expected) >= 3, "spec must yield multiple chunks per page"
+    done = {
+        e["wave"]
+        for e in cat.log("checkpoints")
+        if "wave" in e and e.get("chunk") is None
+    }
+    assert done == {1, 2}
+    # records identical to the oracle's
+    posts = cat.read(spark, "posts").orderBy("post_id").collect()
+    assert [r["post_id"] for r in posts] == [g["post_id"] for g in golden.records]
+    gold = {g["post_id"]: g for g in golden.records}
+    for r in posts:
+        g = gold[r["post_id"]]
+        assert r["_download_summary"] == g["_download_summary"]
+        assert list(r["file_sources"]) == g["file_sources"]
+
+
+def test_per_post_checkpoint_midpage_crash(spark, tmp_path, monkeypatch):
+    """Kill the run BETWEEN POSTS OF ONE PAGE (after two 3-post chunk
+    commits, before the third): resume must complete with final state and
+    virtual time identical to an uninterrupted run — committed posts are
+    not refetched, so no duplicate fetch tokens enter the politeness
+    accounting and no frontier/crawl_order rows duplicate."""
+    import crawlspark.driver as drv
+
+    site = build_site(CHUNK_SPEC)
+    golden = run_oracle(site)
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+    wd = str(tmp_path / "midpage")
+
+    real = drv._process_links
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # page 1's second chunk — dies between posts
+            raise RuntimeError("simulated mid-page crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(drv, "_process_links", boom)
+    with pytest.raises(RuntimeError, match="mid-page crash"):
+        crawl(spark, store, CHUNK_SPEC.base_url, wd, pages=2,
+              pages_per_wave=1, posts_per_checkpoint=3, run_id="cr1")
+    monkeypatch.setattr(drv, "_process_links", real)
+
+    cat = Catalog(wd)
+    committed = {
+        (e["page"], e["chunk"])
+        for e in cat.log("checkpoints")
+        if e.get("chunk") is not None
+    }
+    assert committed == {(1, 0)}, "crash left a 1-chunk prefix of page 1"
+    assert not {
+        e["wave"]
+        for e in cat.log("checkpoints")
+        if "wave" in e and e.get("chunk") is None
+    }, "no wave may be marked complete"
+    seen_partial = {r["url"] for r in cat.read(spark, "seen").collect()}
+    assert 0 < len(seen_partial) < len(golden.seen)
+
+    # resume: only the unprocessed tail of page 1 (+ page 2) runs
+    result = crawl(spark, store, CHUNK_SPEC.base_url, wd, pages=2,
+                   pages_per_wave=1, posts_per_checkpoint=3, run_id="cr2")
+    assert result.stats == golden.stats
+    assert result.virtual_seconds == golden.virtual_seconds
+    rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
+    got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
+    assert got == golden.crawl_order
+    assert {r["url"] for r in cat.read(spark, "seen").collect()} == golden.seen
+    # no post was fetched twice: frontier holds exactly one row per URL
+    fr = cat.read(spark, "frontier")
+    assert fr.count() == fr.select("url").distinct().count()
 
 
 def test_per_page_checkpoint_cadence(spark, tmp_path):
