@@ -231,6 +231,87 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return pairs
 
 
+@register(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE {_LSH_CAND_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster
+    FROM reach
+    GROUP BY a
+    """,
+)
+def dedup_cluster_assign(spark, sf_dir):
+    """Near-dup CLUSTER assignment — connected components over the LSH
+    candidate pairs, so a training pipeline can keep one representative
+    per duplicate group instead of reasoning about raw pairs.
+
+    Iterative min-label propagation (the hash-min step of the
+    large-star/small-star CC family): every node starts as its own label,
+    each round takes the min over neighbor labels, convergence in
+    O(component diameter) rounds — near-dup components are dense LSH
+    cliques, so the diameter is tiny. Per round the only data movement is
+    one shuffle of (doc_id, label) keyed by doc_id; the convergence check
+    is a metadata-sized count. The DuckDB oracle computes the same
+    components via a recursive transitive closure."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("cluster").alias("b_cluster")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("b_cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.select("doc_id", F.col("cluster").alias("new_cluster"))
+            .join(labels, "doc_id")
+            .filter(F.col("new_cluster") != F.col("cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 _NIBBLE_TO_BITS_CASES = " ".join(
     f"WHEN '{c}' THEN '{bin(int(c, 16))[2:].zfill(4)}'" for c in "0123456789abcdef"
 )

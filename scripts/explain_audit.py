@@ -94,6 +94,17 @@ CHECKS = {
         "NoShuffle": r"^(?!.*Exchange)",
         "Codegen": r"WholeStageCodegen",
     },
+    "p16_netlog_extract": {
+        # netlog parse is two row-local from_json calls + array HOFs: the
+        # log body never shuffles, and only doc_id is read from parquet
+        "NoShuffle": r"^(?!.*Exchange)",
+        "PrunedSchema": r"ReadSchema:[^\n]*doc_id",
+    },
+    "p0_user_selector_detect": {
+        # selector match is one row-local rlike — no shuffle, codegen
+        "NoShuffle": r"^(?!.*Exchange)",
+        "Codegen": r"WholeStageCodegen",
+    },
 }
 
 
