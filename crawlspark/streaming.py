@@ -126,18 +126,39 @@ _SESSION_OUT_SCHEMA = (
 _SESSION_STATE_SCHEMA = "start long, last long, n long"
 
 
-def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, gap_s: int = SESSION_GAP_S, flush_idle: bool = False
+) -> DataFrame:
     """events: streaming DataFrame (user_id long, ts long epoch-seconds) ->
-    closed sessions (user_id, session_start, session_end, n_events)."""
+    closed sessions (user_id, session_start, session_end, n_events).
+
+    flush_idle=False (default): a session is emitted only when a LATER
+    event of the same user arrives past the gap — a user who goes silent
+    forever leaves an open session in the state store.
+
+    flush_idle=True: additionally registers an event-time timeout at
+    (last + gap_s); once the stream's WATERMARK passes it, the idle open
+    session is emitted and its state removed (GroupStateTimeout.
+    EventTimeTimeout) — state size stays bounded by ACTIVE users instead
+    of all users ever seen, which is what a long-lived stream needs. The
+    helper derives the required watermark column from `ts` itself."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
+    from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
     )
 
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
+        if flush_idle and state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start, last, n)], columns=cols)
+            return
         ts: list[int] = []
         for pdf in pdfs:
             ts.extend(int(t) for t in pdf["ts"])
@@ -156,15 +177,24 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
             last = t
             n += 1
         state.update((start, last, n))
-        yield pd.DataFrame(
-            closed,
-            columns=["user_id", "session_start", "session_end", "n_events"],
-        )
+        if flush_idle:
+            # timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(
+                max((last + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(closed, columns=cols)
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    src = events
+    timeout = GroupStateTimeout.NoTimeout
+    if flush_idle:
+        src = events.withColumn(
+            "event_time", F.timestamp_seconds("ts")
+        ).withWatermark("event_time", "0 seconds")
+        timeout = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=_SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -191,3 +191,60 @@ def test_stateful_sessionize_stream(spark, tmp_path_factory):
         (2, 100, 1900, 3),
         (3, 50, 50, 1),
     }
+
+
+def test_sessionize_stream_idle_flush(spark, tmp_path_factory):
+    """flush_idle=True: an idle open session is emitted once the event-time
+    WATERMARK passes last+gap — no closing event from the same user needed,
+    and its state is removed (bounded state for long-lived streams).
+    Watermark advances at micro-batch end, so a timeout registered in batch
+    k fires in the first batch after the watermark passes it."""
+    from crawlspark.streaming import sessionize_stream
+
+    base = tmp_path_factory.mktemp("sess_idle")
+    stream_dir = str(base / "events_in")
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "sessions_out")
+    out_schema = "user_id long, session_start long, session_end long, n_events long"
+
+    def run_available() -> None:
+        events = (
+            spark.readStream.schema("user_id long, ts long").parquet(stream_dir)
+        )
+        q = (
+            sessionize_stream(events, flush_idle=True)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sessions() -> set:
+        df = spark.read.schema(out_schema).parquet(out_dir)
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in df.collect()
+        }
+
+    # run 1: user 1 goes idle after two events; watermark ends at 700
+    # (ts=0 would be dropped against the initial zero watermark)
+    _write_events(spark, stream_dir, "b1", [(1, 100), (1, 700)])
+    run_available()
+    assert sessions() == set()
+
+    # run 2 (stream restart): only ANOTHER user's far-future event. The
+    # data batch advances the watermark to 10000; availableNow then runs a
+    # trailing no-data batch that fires expired timeouts, so user 1's idle
+    # session (timeout 700+1800=2500) flushes IN THIS RUN with no user-1
+    # event; user 2's own timeout (11800) is still ahead of the watermark
+    _write_events(spark, stream_dir, "b2", [(2, 10000)])
+    run_available()
+    assert sessions() == {(1, 100, 700, 2)}
+
+    # run 3: watermark reaches 20000 > 11800 -> user 2 flushes too
+    _write_events(spark, stream_dir, "b3", [(3, 20000)])
+    run_available()
+    assert sessions() == {(1, 100, 700, 2), (2, 10000, 10000, 1)}
