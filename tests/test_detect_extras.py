@@ -192,7 +192,14 @@ def test_selector_to_regex_units():
 
 def test_config_knob_threads():
     cfg = EngineConfig.load(
-        env={"CRAWLSPARK_DOWNLOAD_SELECTOR": "span.vip-extra.asset-badge"}
+        env={
+            "CRAWLSPARK_DOWNLOAD_SELECTOR": "span.vip-extra.asset-badge",
+            "CRAWLSPARK_POSTS_PER_CHECKPOINT": "3",
+        }
     )
     assert cfg.download_selector == "span.vip-extra.asset-badge"
+    assert cfg.posts_per_checkpoint == 3
     assert EngineConfig().download_selector == ""
+    assert EngineConfig().posts_per_checkpoint == 0
+    with pytest.raises(ValueError):
+        EngineConfig.load(env={"CRAWLSPARK_POSTS_PER_CHECKPOINT": "-1"})
