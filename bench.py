@@ -50,20 +50,30 @@ N_RUNS = int(os.environ.get("CRAWLSPARK_BENCH_RUNS", "3"))
 
 
 def _self_pin(cpus: int) -> None:
-    """Re-exec under taskset pinned to exactly `cpus` cores (idempotent)."""
+    """Re-exec under taskset pinned to exactly `cpus` cores (idempotent).
+    Cores come from the process's OWN affinity mask — a cgroup/cpuset
+    sandbox may not contain CPUs 0..N-1 at all."""
     if os.environ.get("CRAWLSPARK_BENCH_PINNED"):
         return
     os.environ["CRAWLSPARK_BENCH_PINNED"] = "1"
     try:
-        have = len(os.sched_getaffinity(0))
+        allowed = sorted(os.sched_getaffinity(0))
     except AttributeError:
         return
-    if have <= cpus or shutil.which("taskset") is None:
+    if len(allowed) <= cpus or shutil.which("taskset") is None:
         return
-    cores = f"0-{cpus - 1}" if cpus > 1 else "0"
+    cores = ",".join(str(c) for c in allowed[:cpus])
     os.execvp(
         "taskset", ["taskset", "-c", cores, sys.executable, *sys.argv]
     )
+
+
+def _is_pinned(cpus: int) -> bool:
+    """True iff the process actually runs within its core budget."""
+    try:
+        return len(os.sched_getaffinity(0)) <= cpus
+    except AttributeError:
+        return False
 
 
 def _rel_spread(runs: list[float]) -> float:
@@ -138,7 +148,7 @@ def main() -> None:
         "sf": sf,
         "crawl": crawl,
         "cpus": cpus,
-        "pinned": bool(shutil.which("taskset")),
+        "pinned": _is_pinned(cpus),
     }
     print(json.dumps(out))
     spark.stop()

@@ -99,8 +99,9 @@ class Catalog:
     def manifest(self, table: str, version: int | None = None) -> dict | None:
         """A snapshot manifest: {version, data_dirs: [rel...], schema}.
         version=None -> the current snapshot; an explicit version reads that
-        historical snapshot (time travel — old manifests and data dirs are
-        immutable and never vacuumed in this sandbox)."""
+        historical snapshot (time travel). Manifests and data dirs are
+        immutable once committed, but `vacuum()` may expire old snapshots —
+        `read()` of a vacuumed version raises ValueError."""
         if version is None:
             rel = self._current_manifest_rel(table)
             if rel is None:
@@ -358,10 +359,21 @@ class Catalog:
                 cur_keys = self.pruned_key_scan(spark, table, key, lo, hi)
                 if cur_keys is not None:
                     new = persisted.join(cur_keys, on=key, how="left_anti")
-            return self.append(
-                spark, new, table, meta, partition_by,
-                stats={key: [lo, hi] if lo is not None else None},
+            # stats must survive a JSON round-trip AND compare correctly
+            # against future batches' runtime values — record them only for
+            # JSON-native key types (str/int/float/bool); anything else
+            # (date, Decimal, bytes) gets no stats entry, which
+            # pruned_key_scan treats as "must scan" — correct, just unpruned
+            jsonable = all(
+                v is None or isinstance(v, (str, int, float, bool))
+                for v in (lo, hi)
             )
+            stats = (
+                {key: [lo, hi] if lo is not None else None}
+                if jsonable
+                else None
+            )
+            return self.append(spark, new, table, meta, partition_by, stats)
         finally:
             persisted.unpersist()
 

@@ -236,7 +236,7 @@ def _run_wave(
     posts_per_checkpoint: int = 0,
 ) -> tuple[dict, float]:
     # ---- S1/S2/S3: listing fetch + P1 link extraction (source dispatch)
-    links, pages_with_posts = _band_links(
+    links, served_pages = _band_links(
         spark, page_store, base_url, page_band, listing_source
     )
 
@@ -280,13 +280,13 @@ def _run_wave(
         if posts_per_checkpoint <= 0:
             return _process_links(
                 spark, cat, bloom, page_store, base_url, run_id, wave,
-                links, page_band, pages_with_posts, image_keep_bytes,
+                links, page_band, len(served_pages), image_keep_bytes,
                 bucket, hot_hosts or [], hot_host_salts, download_selector,
             )
         return _run_wave_chunks(
             spark, cat, bloom, page_store, base_url, run_id, wave,
-            page_band, links, seen_df, image_keep_bytes, bucket,
-            hot_hosts or [], hot_host_salts, download_selector,
+            page_band, served_pages, links, seen_df, image_keep_bytes,
+            bucket, hot_hosts or [], hot_host_salts, download_selector,
             posts_per_checkpoint,
         )
     finally:
@@ -302,6 +302,7 @@ def _run_wave_chunks(
     run_id: str,
     wave: int,
     page_band: list[int],
+    served_pages: set[int],
     links: DataFrame,
     seen_df: DataFrame | None,
     image_keep_bytes: bool,
@@ -373,36 +374,41 @@ def _run_wave_chunks(
             totals[k] += s[k]
         return v
 
-    for p in page_band:
-        chunks = sorted(by_page.get(p, []))
-        if not chunks:
-            if p in done_pages:
-                continue  # fully committed before a crash; metrics has it
-            # listing-only chunk: no todo posts, but the page's listing
-            # token and trailing inter-page wait still happen exactly once
-            vsec_total += _chunk(
-                links.filter(F.lit(False)), [p], 1, 0, p, WAIT_BETWEEN_PAGES
-            )
-            continue
-        for i, c in enumerate(chunks):
-            include_listing = i == 0 and p not in done_pages
-            vsec_total += _chunk(
-                todo.filter(
-                    (F.col("page") == p)
-                    & (F.floor(F.col("pos_in_page") / K) == c)
-                ),
-                [p] if include_listing else [],
-                1 if include_listing else 0,
-                c,
-                p,
-                WAIT_BETWEEN_PAGES if i == len(chunks) - 1 else 0.0,
-            )
+    try:
+        for p in page_band:
+            chunks = sorted(by_page.get(p, []))
+            if not chunks:
+                if p in done_pages:
+                    continue  # fully committed before a crash; metrics has it
+                # listing-only chunk: no todo posts, but the page's listing
+                # token and trailing inter-page wait still happen exactly
+                # once; an unserved page attempts the fetch (token) without
+                # counting toward pages_processed — same as the unchunked stat
+                vsec_total += _chunk(
+                    links.filter(F.lit(False)), [p],
+                    1 if p in served_pages else 0, 0, p, WAIT_BETWEEN_PAGES,
+                )
+                continue
+            for i, c in enumerate(chunks):
+                include_listing = i == 0 and p not in done_pages
+                vsec_total += _chunk(
+                    todo.filter(
+                        (F.col("page") == p)
+                        & (F.floor(F.col("pos_in_page") / K) == c)
+                    ),
+                    [p] if include_listing else [],
+                    1 if include_listing and p in served_pages else 0,
+                    c,
+                    p,
+                    WAIT_BETWEEN_PAGES if i == len(chunks) - 1 else 0.0,
+                )
 
-    # wave-completion marker pass: an empty chunk committed under the plain
-    # {"wave"} meta — identical semantics to the unchunked path's final
-    # checkpoint entry, so crawl()'s done_waves logic needs no special case
-    vsec_total += _chunk(links.filter(F.lit(False)), [], 0, None, None, 0.0)
-    todo.unpersist()
+        # wave-completion marker pass: an empty chunk committed under the
+        # plain {"wave"} meta — identical semantics to the unchunked path's
+        # final checkpoint entry, so done_waves needs no special case
+        vsec_total += _chunk(links.filter(F.lit(False)), [], 0, None, None, 0.0)
+    finally:
+        todo.unpersist()
     return totals, vsec_total
 
 
@@ -677,13 +683,6 @@ def _process_links(
         key="image_id",
         meta=dict(wmeta),
     )
-    cat.merge_new(
-        spark,
-        links.select("url", F.lit(wave).alias("wave")),
-        "seen",
-        key="url",
-        meta=dict(wmeta),
-    )
     cat.append(spark, order_rows, "crawl_order", meta=dict(wmeta))
     # frontier state rows (FIXTURES.md §7 schema), partitioned by host_bucket;
     # state/attempt reflect the retry outcome (done after fail+1 attempts,
@@ -780,6 +779,22 @@ def _process_links(
     cat.append(
         spark, metrics_row, "metrics", meta={**wmeta, **bucket.to_meta()}
     )
+    # `seen` commits SECOND-TO-LAST, after every append/merge and the
+    # metrics row: replay's todo/links filtering is keyed on this table, so
+    # committing it any earlier opens a crash window where the chunk's URLs
+    # are "seen" but its crawl_order/frontier/metrics rows were never
+    # written — and the replay would then skip the chunk forever. With this
+    # ordering a crash before `seen` replays the chunk (merge_new is
+    # key-idempotent, appends are (wave,chunk)-idempotent no-ops, the
+    # metrics replay guard restores the bucket), and a crash after `seen`
+    # has already made every output durable.
+    cat.merge_new(
+        spark,
+        links.select("url", F.lit(wave).alias("wave")),
+        "seen",
+        key="url",
+        meta=dict(wmeta),
+    )
     # checkpoint LAST — its presence marks the wave (or chunk) complete;
     # a chunk's entry records the within-wave (page, chunk) offset
     cat.append(spark, cp, "checkpoints", meta=dict(wmeta))
@@ -864,23 +879,28 @@ def _band_links(
     base_url: str,
     page_band: list[int],
     listing_source: str,
-) -> tuple[DataFrame, int]:
-    """Listing-source dispatch → (links, pages_served).
+) -> tuple[DataFrame, set[int]]:
+    """Listing-source dispatch → (links, served_pages).
 
     links: (page, link_pos, url, link_title) with identical filter/dedup
-    semantics from either source; pages_served: pages a source answered."""
+    semantics from either source; served_pages: the pages a source actually
+    answered (a page absent from the store counts toward the politeness
+    listing token — the fetch is attempted — but not toward the
+    pages_processed stat)."""
 
-    def _render(band: list[int]) -> tuple[DataFrame, int]:
+    def _render(band: list[int]) -> tuple[DataFrame, set[int]]:
         frontier = _listing_frontier(spark, base_url, band)
         listings = frontier.join(
             page_store.filter(F.col("kind") == "listing").select("url", "body"),
             "url",
         )
-        n = listings.count()
+        served = {
+            r["page"] for r in listings.select("page").distinct().collect()
+        }
         parsed = listings.withColumn("parsed", parse_html(F.col("body"))).select(
             "url", "page", "parsed"
         )
-        return ops.extract_links(parsed, base_url), n
+        return ops.extract_links(parsed, base_url), served
 
     if listing_source == "render":
         return _render(page_band)
@@ -899,10 +919,10 @@ def _band_links(
     api_links = extract_links_api(api_listings, base_url)
     missing = [p for p in page_band if p not in api_pages]
     if listing_source == "api" or not missing:
-        return api_links, len(api_pages)
+        return api_links, api_pages
     # S3 fallback: render the pages the API could not serve (legacy:313-319)
-    render_links, n_render = _render(missing)
-    return api_links.unionByName(render_links), len(api_pages) + n_render
+    render_links, rendered = _render(missing)
+    return api_links.unionByName(render_links), api_pages | rendered
 
 
 _VSEC_SUB_POST = 500_000  # order slot: attempts 1..3 < post < images

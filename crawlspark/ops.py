@@ -431,8 +431,19 @@ def selector_to_regex(selector: str) -> str:
     combinators are honored only down to the final simple selector — the
     reference's deep user selector ends in `... > span` and in practice
     targets that final element. Supported shape: `tag.class1.class2`
-    (classes matched as exact whitespace-delimited tokens, any order)."""
+    (classes matched as exact whitespace-delimited tokens, any order).
+
+    Unsupported simple-selector syntax (ids, attribute selectors,
+    pseudo-classes) raises ValueError LOUDLY — silently compiling a
+    never-matching pattern would let an operator believe strategy 0 is
+    active while it detects nothing."""
     last = _re.split(r"[>\s]+", selector.strip())[-1]
+    if not _re.fullmatch(r"[A-Za-z][\w-]*(\.[\w-]+)*|(\.[\w-]+)+", last):
+        raise ValueError(
+            f"download_selector: unsupported simple selector {last!r} — "
+            "only `tag`, `.class`, or `tag.class1.class2` forms are "
+            "honored against stored page source"
+        )
     parts = last.split(".")
     tag = _re.escape(parts[0]) if parts[0] else r"\w+"
     classes = [c for c in parts[1:] if c]

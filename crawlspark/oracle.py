@@ -91,8 +91,10 @@ def _selector_re(selector: str) -> "re.Pattern[str]":
     """Strategy-0 user selector (download_detector.py:286-306) as a
     page-source regex: final simple selector `tag.c1.c2`, classes as exact
     whitespace tokens in any order. Independent restatement of the engine's
-    ops.selector_to_regex semantics."""
+    ops.selector_to_regex semantics (incl. rejecting unsupported syntax)."""
     last = re.split(r"[>\s]+", selector.strip())[-1]
+    if not re.fullmatch(r"[A-Za-z][\w-]*(\.[\w-]+)*|(\.[\w-]+)+", last):
+        raise ValueError(f"unsupported simple selector {last!r}")
     parts = last.split(".")
     tag = re.escape(parts[0]) if parts[0] else r"\w+"
     looks = "".join(

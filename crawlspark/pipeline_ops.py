@@ -277,7 +277,8 @@ def dedup_cluster_assign(spark, sf_dir):
         .withColumn("cluster", F.col("doc_id"))
         .persist()
     )
-    for _ in range(20):
+    converged = False
+    for _ in range(50):
         nbr = (
             edges.join(
                 labels.select(
@@ -307,8 +308,16 @@ def dedup_cluster_assign(spark, sf_dir):
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a component with diameter > 50 would return non-minimal labels;
+        # fail loudly rather than silently diverging from the oracle
+        raise RuntimeError(
+            "dedup_cluster_assign: min-label propagation did not converge "
+            "in 50 rounds (component diameter too large)"
+        )
     return labels
 
 

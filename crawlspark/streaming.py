@@ -108,6 +108,21 @@ def stream_crawl(
     q.awaitTermination()
 
 
+def reset_stream_bloom(workdir: str | None = None) -> None:
+    """Evict the cached cross-batch bloom for `workdir` (or all of them).
+    Call after dropping/recreating a workdir's catalog in a long-lived
+    process — the cache is keyed by path and would otherwise serve a bloom
+    seeded from the previous incarnation's seen set (correct but wasteful:
+    staleness is in the false-positive direction) and hold its bitmaps for
+    the process lifetime."""
+    if workdir is None:
+        _STREAM_BLOOMS.clear()
+        _BLOOM_REBUILDS.clear()
+    else:
+        _STREAM_BLOOMS.pop(workdir, None)
+        _BLOOM_REBUILDS.pop(workdir, None)
+
+
 # --------------------------------------------------------------------------
 # Custom stateful operator (SURVEY §2.8 / graft brief: "custom stateful
 # operators via applyInPandasWithState"): streaming sessionization with a

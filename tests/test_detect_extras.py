@@ -188,6 +188,14 @@ def test_selector_to_regex_units():
     assert re.compile(ops.selector_to_regex("div > button")).search(
         "<button onclick=x>y</button>"
     )
+    # unsupported simple-selector syntax must fail LOUDLY, not compile a
+    # never-matching pattern
+    with pytest.raises(ValueError, match="unsupported simple selector"):
+        ops.selector_to_regex("div#download-btn")
+    with pytest.raises(ValueError, match="unsupported simple selector"):
+        ops.selector_to_regex('a[href$=".pdf"]')
+    with pytest.raises(ValueError, match="unsupported simple selector"):
+        ops.selector_to_regex("span:contains(다운로드)")
 
 
 def test_config_knob_threads():

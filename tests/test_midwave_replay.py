@@ -240,3 +240,58 @@ def test_per_page_checkpoint_cadence(spark, tmp_path):
     rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
     got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
     assert got == golden.crawl_order
+
+
+def test_chunk_crash_before_seen_commit_recovers(spark, tmp_path, monkeypatch):
+    """Crash AFTER a chunk's append-table commits but BEFORE its `seen`
+    merge: the chunk's URLs are still absent from `seen`, so resume
+    re-processes it in full — the replayed appends are (wave,chunk)-
+    idempotent no-ops, the metrics replay guard restores the bucket, and
+    the seen merge finally lands. Nothing is lost and nothing duplicates
+    (the commit ORDER — seen second-to-last — is what closes this window;
+    committing seen before the appends would skip the chunk forever)."""
+    from crawlspark.catalog import Catalog as Cat
+
+    site = build_site(CHUNK_SPEC)
+    golden = run_oracle(site)
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+    wd = str(tmp_path / "seencrash")
+
+    real_merge = Cat.merge_new
+    calls = {"n": 0}
+
+    def boom(self, spark_, batch, table, key, meta=None, partition_by=None):
+        if table == "seen":
+            calls["n"] += 1
+            if calls["n"] == 2:  # second chunk: appends+metrics durable
+                raise RuntimeError("simulated crash before seen commit")
+        return real_merge(
+            self, spark_, batch, table, key=key, meta=meta,
+            partition_by=partition_by,
+        )
+
+    monkeypatch.setattr(Cat, "merge_new", boom)
+    with pytest.raises(RuntimeError, match="before seen commit"):
+        crawl(spark, store, CHUNK_SPEC.base_url, wd, pages=2,
+              pages_per_wave=1, posts_per_checkpoint=3, run_id="sc1")
+    monkeypatch.setattr(Cat, "merge_new", real_merge)
+
+    cat = Catalog(wd)
+    # the crashed chunk's metrics row IS durable but its URLs are not seen
+    n_metrics_chunks = len(
+        [e for e in cat.log("metrics") if e.get("chunk") is not None]
+    )
+    assert n_metrics_chunks == 2
+    seen_partial = {r["url"] for r in cat.read(spark, "seen").collect()}
+    assert 0 < len(seen_partial) < len(golden.seen)
+
+    result = crawl(spark, store, CHUNK_SPEC.base_url, wd, pages=2,
+                   pages_per_wave=1, posts_per_checkpoint=3, run_id="sc2")
+    assert result.stats == golden.stats
+    assert result.virtual_seconds == golden.virtual_seconds
+    rows = cat.read(spark, "crawl_order").orderBy("page", "pos_in_page").collect()
+    got = [(i, r["url"], r["page"], r["pos_in_page"]) for i, r in enumerate(rows)]
+    assert got == golden.crawl_order
+    assert {r["url"] for r in cat.read(spark, "seen").collect()} == golden.seen
+    fr = cat.read(spark, "frontier")
+    assert fr.count() == fr.select("url").distinct().count()
