@@ -528,6 +528,116 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_ivf",
+    """
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS p),
+    corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000,
+             list_transform(embedding::DOUBLE[], x -> x + 0.02)
+      FROM embeddings WHERE vec_id % 50 = 0),
+    flat AS (SELECT label, p, embedding[p]::DOUBLE AS v FROM embeddings, dims),
+    cent AS (SELECT label, p, avg(v) AS c FROM flat GROUP BY label, p),
+    centv AS (SELECT label, list(c ORDER BY p) AS cvec FROM cent GROUP BY label),
+    assign AS (
+      SELECT vec_id, embedding, label AS bucket
+      FROM (
+        SELECT c.vec_id, c.embedding, ct.label,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.embedding, ct.cvec), 6)
+                          DESC, ct.label) AS rn
+        FROM corpus c, centv ct)
+      WHERE rn = 1)
+    SELECT doc_a, doc_b, round(sim, 4) AS cos_sim
+    FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+      FROM assign a JOIN assign b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE round(sim, 4) >= 0.9
+    """,
+)
+def dedup_embedding_ivf(spark, sf_dir):
+    """Embedding near-dup with a TRUE IVF candidate path: a coarse codebook
+    (per-label centroid vectors, trained on the base corpus) is BROADCAST;
+    every vector — including the planted +0.02 near-dups, which carry no
+    trustworthy label at ingest time — is assigned to its nearest centroid,
+    candidate pairs form only within an IVF bucket, and exact cosine >= 0.9
+    confirms. Unlike dedup_embedding_cosine (which blocks on the GIVEN
+    label), the blocking key here is computed from the vectors alone — the
+    shape a real pipeline needs when incoming data is unlabeled. At scale:
+    corpus x K-centroid broadcast join for assignment, then a bucket-keyed
+    self-join whose fan-out is bounded by bucket size (single-probe IVF);
+    no all-pairs path exists."""
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.02)
+        ).alias("embedding"),
+    )
+    corpus = as_double.unionByName(planted)
+
+    flat = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("p0", "v")
+    ).select(
+        "label", (F.col("p0") + 1).alias("p"), F.col("v").cast("double").alias("v")
+    )
+    cent = flat.groupBy("label", "p").agg(F.avg("v").alias("c"))
+    centv = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def cos(x, y):
+        return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+    scored = corpus.crossJoin(F.broadcast(centv)).select(
+        "vec_id",
+        "embedding",
+        "label",
+        cos(F.col("embedding"), F.col("cvec")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("sim", 6).desc(), F.col("label")
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "embedding", F.col("label").alias("bucket"))
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        cos(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round("sim", 4))
+        .filter("cos_sim >= 0.9")
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
+@register(
     "p7_content_fallback",
     """
     SELECT d.doc_id, coalesce(k.kept, '') AS kept

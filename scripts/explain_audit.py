@@ -105,6 +105,13 @@ CHECKS = {
         "NoShuffle": r"^(?!.*Exchange)",
         "Codegen": r"WholeStageCodegen",
     },
+    "dedup_embedding_ivf": {
+        # IVF assign = corpus x broadcast codebook; candidate pairs form
+        # only inside a bucket (equi-join on the computed bucket key) —
+        # the full cross join must never appear
+        "BroadcastCodebook": r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+        "NoCartesian": r"^(?!.*CartesianProduct)",
+    },
 }
 
 
