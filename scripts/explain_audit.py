@@ -68,10 +68,6 @@ CHECKS = {
         "TopK": r"TakeOrderedAndProject",
         "PrunedSchema": r"ReadSchema:[^\n]*o_orderdate",
     },
-    "p15_proximity_window": {
-        "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
-        "Codegen": r"WholeStageCodegen",
-    },
     "multimodal_decode_resize": {
         # column pruning must reach through mapInPandas: only doc_id is read
         "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
@@ -90,9 +86,12 @@ CHECKS = {
         "Codegen": r"WholeStageCodegen",
     },
     "p15_engine_proximity_detect": {
-        # proximity window is row-local string work — no shuffle, codegen
-        "NoShuffle": r"^(?!.*Exchange)",
+        # proximity window is row-local string work; the consolidated
+        # prox_pos column (former p15_proximity_window) left-joins a second
+        # derivation of the same pruned scan — broadcast, never cartesian
+        "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
         "Codegen": r"WholeStageCodegen",
+        "NoCartesian": r"^(?!.*CartesianProduct)",
     },
     "p16_netlog_extract": {
         # netlog parse is two row-local from_json calls + array HOFs: the
