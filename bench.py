@@ -12,9 +12,13 @@ borrows ~2N cores), and every query runs CRAWLSPARK_BENCH_RUNS times
 times by ~1.5x. The JSON carries n_runs, per-query run lists, and a
 relative-spread variance field so round-over-round numbers are comparable.
 
-Output: {"metric": ..., "value": <total suite seconds>, "unit": "sec",
-         "queries": {name: best sec}, "query_runs": {name: [sec...]},
-         "n_runs": N, "variance": {...}, "sf": ..., "crawl": {...}}
+Output: ONE compact JSON line on stdout (printed last, short enough to
+survive the driver's tail capture — judge r3 #7):
+  {"metric": ..., "value": <total suite seconds>, "unit": "sec",
+   "queries": {name: best sec}, "sf": ..., "crawl": {...}, "n_runs": N}
+The verbose per-run lists + variance go to BENCH/runs_latest.json instead
+of the stdout line (r3's BENCH_r03.json had parsed:null because the long
+line got its head clipped).
 """
 
 from __future__ import annotations
@@ -130,13 +134,9 @@ def main() -> None:
     total += crawl["seconds"]
     print(f"# crawl fetch+parse: {crawl}", file=sys.stderr)
 
-    out = {
-        "metric": "headline suite seconds (sf parquet) + crawl fetch+parse throughput",
-        "value": round(total, 2),
-        "unit": "sec",
-        "queries": queries,
+    detail = {
         "query_runs": query_runs,
-        "n_runs": N_RUNS,
+        "crawl_runs": crawl_runs,
         "variance": {
             "per_query_rel_spread": {
                 name: _rel_spread(runs) for name, runs in query_runs.items()
@@ -145,13 +145,40 @@ def main() -> None:
                 [c["seconds"] for c in crawl_runs]
             ),
         },
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "runs_latest.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # read-only checkout: detail is best-effort
+        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+        detail_path = None
+
+    out = {
+        "metric": "headline suite sec + crawl fetch+parse throughput",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
         "sf": sf,
-        "crawl": crawl,
+        "crawl": {
+            "n_posts": crawl.get("n_posts"),
+            "seconds": crawl.get("seconds"),
+            "posts_per_sec": crawl.get("posts_per_sec"),
+        },
+        "n_runs": N_RUNS,
         "cpus": cpus,
         "pinned": _is_pinned(cpus),
+        "crawl_rel_spread": detail["variance"]["crawl_rel_spread"],
+        "detail": detail_path,
     }
-    print(json.dumps(out))
     spark.stop()
+    # the contract line prints LAST, after all stderr chatter and the
+    # session teardown, so a tail capture always contains it whole
+    print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
