@@ -83,6 +83,7 @@ def cmd_crawl(args) -> int:
         hot_host_salts=cfg.hot_host_salts,
         download_selector=cfg.download_selector,
         posts_per_checkpoint=cfg.posts_per_checkpoint,
+        vacuum_keep_last=cfg.vacuum_keep_last,
     )
     print(json.dumps({"stats": result.stats,
                       "virtual_seconds": result.virtual_seconds,
@@ -119,6 +120,24 @@ def cmd_status(args) -> int:
                                       "errors", "virtual_seconds")}
     print(json.dumps(out, ensure_ascii=False, indent=2))
     spark.stop()
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Manual retention pass (the crawl lifecycle also vacuums on every
+    commit when vacuum_keep_last > 0 — this command covers state written
+    with retention disabled, or tightening retention after the fact)."""
+    from crawlspark.catalog import Catalog
+
+    cat = Catalog(args.workdir)
+    out: dict = {}
+    for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
+              "checkpoints", "metrics", "robots", "errors", "frontier",
+              "politeness"):
+        if cat.exists(t):
+            out[t] = cat.vacuum(t, keep_last=args.keep_last)
+    print(json.dumps({"workdir": args.workdir, "keep_last": args.keep_last,
+                      "vacuumed": out}))
     return 0
 
 
@@ -266,6 +285,13 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("reset", help="drop all state tables")
     r.add_argument("--workdir", required=True)
     r.set_defaults(fn=cmd_reset)
+
+    v = sub.add_parser(
+        "vacuum", help="expire old snapshots + orphaned data dirs"
+    )
+    v.add_argument("--workdir", required=True)
+    v.add_argument("--keep-last", type=int, default=2, dest="keep_last")
+    v.set_defaults(fn=cmd_vacuum)
 
     e = sub.add_parser("export", help="export posts as reference-shape JSONL")
     e.add_argument("--workdir", required=True)

@@ -60,6 +60,11 @@ class EngineConfig:
     # disabled. Honored down to the final simple selector (`tag.c1.c2`) —
     # the engine matches stored page source, not a live DOM.
     download_selector: str = ""
+    # snapshot retention wired into the commit lifecycle: keep at most this
+    # many snapshots per state table, expiring older ones + orphaned data
+    # dirs as the crawl commits. 0 = keep full history (every version
+    # time-travelable)
+    vacuum_keep_last: int = 8
 
     # ------------------------------------------------------------- loading
 
@@ -109,6 +114,8 @@ class EngineConfig:
             raise ValueError("host_buckets/hot_host_salts must be >= 1")
         if self.posts_per_checkpoint < 0:
             raise ValueError("posts_per_checkpoint must be >= 0")
+        if self.vacuum_keep_last < 0:
+            raise ValueError("vacuum_keep_last must be >= 0")
 
 
 def _coerce(raw: str, default, key: str, src: str):

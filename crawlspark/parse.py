@@ -82,24 +82,68 @@ def _parse_batch(html: pd.Series) -> pd.DataFrame:
     ]
 
 
-@F.pandas_udf(PARSED_PAGE)
-def _parse_html_udf(html: pd.Series) -> pd.DataFrame:
-    return _parse_batch(html)
+def _trace_rows(trace_dir: str, kind: str, n: int) -> None:
+    """Executor-side execution trace (test instrumentation): one tiny file
+    per Arrow batch recording how many rows the parse actually processed.
+    Summing the files gives the TOTAL parse row count across the job — the
+    way tests prove the listing parse lineage is evaluated exactly once per
+    wave (driver.py caches the pre-bloom frame; a regression re-runs the
+    parse per union branch and the trace sum jumps to ~3x the page count)."""
+    import os
+    import uuid
+
+    path = os.path.join(trace_dir, f"{kind}-{os.getpid()}-{uuid.uuid4().hex}")
+    with open(path, "w") as f:
+        f.write(str(n))
 
 
-@F.pandas_udf(PARSED_POST)
-def _parse_post_udf(html: pd.Series) -> pd.DataFrame:
-    return _parse_post_batch(html)
+def _build_udfs(trace_dir: str | None):
+    """(Re)build the two parse UDFs. `trace_dir` is captured in the UDF
+    closure (not an env var) so it reaches Python workers regardless of when
+    the SparkSession was created.
+
+    CRITICAL: marked nondeterministic (they are in fact deterministic) to
+    stop CollapseProject from substituting the UDF call into every
+    downstream field reference — otherwise a pipeline touching N parsed
+    fields runs the parse N times (measured 9-50x slowdown at high
+    parallelism). The only optimization this forfeits is pushing filters
+    below the parse, which is never wanted: filters on parsed fields
+    require the parse."""
+
+    @F.pandas_udf(PARSED_PAGE)
+    def _parse_html_udf(html: pd.Series) -> pd.DataFrame:
+        if trace_dir:
+            _trace_rows(trace_dir, "page", len(html))
+        return _parse_batch(html)
+
+    @F.pandas_udf(PARSED_POST)
+    def _parse_post_udf(html: pd.Series) -> pd.DataFrame:
+        if trace_dir:
+            _trace_rows(trace_dir, "post", len(html))
+        return _parse_post_batch(html)
+
+    return (
+        _parse_html_udf.asNondeterministic(),
+        _parse_post_udf.asNondeterministic(),
+    )
 
 
-# CRITICAL: marked nondeterministic (they are in fact deterministic) to stop
-# CollapseProject from substituting the UDF call into every downstream
-# field reference — otherwise a pipeline touching N parsed fields runs the
-# parse N times (measured 9-50x slowdown at high parallelism). The only
-# optimization this forfeits is pushing filters below the parse, which is
-# never wanted: filters on parsed fields require the parse.
-parse_html = _parse_html_udf.asNondeterministic()
-parse_post_html = _parse_post_udf.asNondeterministic()
+_page_udf, _post_udf = _build_udfs(None)
+
+
+def parse_html(html: Column) -> Column:
+    return _page_udf(html)
+
+
+def parse_post_html(html: Column) -> Column:
+    return _post_udf(html)
+
+
+def set_parse_trace(trace_dir: str | None) -> None:
+    """Enable (a directory path) or disable (None) parse execution tracing.
+    Affects plans built AFTER the call; the trace dir must exist."""
+    global _page_udf, _post_udf
+    _page_udf, _post_udf = _build_udfs(trace_dir)
 
 
 def coalesced_title(parsed: Column) -> Column:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crawlspark.catalog import Catalog
 from crawlspark.driver import _BucketState, _run_wave
+from crawlspark.fetcher import PageStoreResolver
 from crawlspark.seen import ShardedBloomSeen
 
 # frontier stream rows carry just the page cursor; the wave builds its
@@ -60,6 +61,7 @@ def stream_crawl(
     ``stream_checkpoint`` to pick up newly arrived files — batch ids (and so
     wave ids) continue where they left off."""
     page_store = page_store.cache()
+    resolver = PageStoreResolver(page_store)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         wave = batch_id + 1
@@ -93,7 +95,7 @@ def stream_crawl(
                 last.get("bucket_times"), last.get("bucket_now", 0.0)
             )
         _run_wave(
-            spark, cat, bloom, page_store, base_url, run_id, wave, pages,
+            spark, cat, bloom, resolver, base_url, run_id, wave, pages,
             image_keep_bytes, bucket, None, [], listing_source,
         )
 

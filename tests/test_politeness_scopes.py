@@ -28,11 +28,16 @@ def test_politeness_scopes(spark, tmp_path):
     rows = Catalog(wd).read(spark, "politeness").collect()
     by_scope = {r["scope"]: r for r in rows}
 
-    # every fetch event is scoped exactly once: posts (all visited links,
-    # incl. skipped — they are fetched) + images
+    # every token-bucket event is scoped exactly once — the FULL event
+    # model (same frame the global fold consumes): listing tokens + posts
+    # (all visited links, incl. skipped — they are fetched) + images (this
+    # spec draws no retries, so no attempt events)
     n_visits = len(golden.crawl_order)
     n_images = len(golden.images)
-    assert sum(r["n_requests"] for r in rows) == n_visits + n_images
+    assert (
+        sum(r["n_requests"] for r in rows)
+        == SPEC.pages + n_visits + n_images
+    )
 
     # hot host: salted scopes with the budget divided (period * k)
     cdn_scopes = [r for r in rows if r["host"] == CDN_HOST]
