@@ -87,6 +87,7 @@ def cmd_crawl(args) -> int:
     )
     print(json.dumps({"stats": result.stats,
                       "virtual_seconds": result.virtual_seconds,
+                      "scope_virtual_seconds": result.scope_virtual_seconds,
                       "waves": result.waves}, ensure_ascii=False))
     spark.stop()
     return 0
