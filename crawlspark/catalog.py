@@ -285,6 +285,11 @@ class Catalog:
             table, n, token, [rel], meta, df.schema.json(),
             {rel: stats} if stats is not None else None,
         )
+        # same lifecycle retention as append: a per-wave full-replace table
+        # (e.g. politeness_state) must not accumulate one snapshot per
+        # commit forever
+        if self.vacuum_keep_last:
+            self.vacuum(table, self.vacuum_keep_last)
         return os.path.join(tdir, rel)
 
     def append(

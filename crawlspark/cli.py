@@ -100,7 +100,8 @@ def cmd_status(args) -> int:
     cat = Catalog(args.workdir)
     out: dict = {"workdir": args.workdir, "tables": {}}
     for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
-              "checkpoints", "metrics", "errors", "frontier", "politeness"):
+              "checkpoints", "metrics", "errors", "frontier", "politeness",
+              "politeness_state"):
         df = cat.read(spark, t)
         out["tables"][t] = {
             "rows": df.count() if df is not None else 0,
@@ -134,7 +135,7 @@ def cmd_vacuum(args) -> int:
     out: dict = {}
     for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
               "checkpoints", "metrics", "robots", "errors", "frontier",
-              "politeness"):
+              "politeness", "politeness_state"):
         if cat.exists(t):
             out[t] = cat.vacuum(t, keep_last=args.keep_last)
     print(json.dumps({"workdir": args.workdir, "keep_last": args.keep_last,
@@ -148,7 +149,7 @@ def cmd_reset(args) -> int:
     cat = Catalog(args.workdir)
     for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
               "checkpoints", "metrics", "robots", "errors", "frontier",
-              "politeness"):
+              "politeness", "politeness_state"):
         cat.drop(t)
     print(f"reset: cleared state under {args.workdir}")
     return 0

@@ -237,15 +237,9 @@ def crawl(
         totals = {k: int(agg[k]) for k in totals}
         virtual = float(agg["virtual_seconds"])
     scope_virtual = 0.0
-    pol = cat.read(spark, "politeness")
-    if pol is not None and "commit_seq" in pol.columns:
-        w = Window.partitionBy("scope").orderBy(F.col("commit_seq").desc())
-        row = (
-            pol.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .agg(F.max("now").alias("m"))
-            .collect()[0]
-        )
+    st = cat.read(spark, "politeness_state")
+    if st is not None:
+        row = st.agg(F.max("now").alias("m")).collect()[0]
         scope_virtual = float(row["m"] or 0.0)
     return CrawlResult(
         stats=totals, virtual_seconds=virtual, waves=len(bands),
@@ -862,46 +856,93 @@ def _commit_politeness(
     base_url: str,
     meta: dict | None = None,
 ) -> None:
-    """Per-(host,salt) politeness fold → `politeness` table (scale path).
+    """Per-(host,salt) politeness fold → `politeness` log + current-state
+    table (scale path).
 
     Folds the SAME full event frame as the global bucket — listing tokens,
     retry attempts, post navs, image fetches, inter-page extras — but per
     scope: each (host, salt) runs its own token-bucket session
-    (politeness.scope_schedule_full), with the scope's carried state (now,
-    last_times) persisted in the table rows and restored per commit, so the
-    per-scope clock is exact across waves and chunks. On a single-scope
-    fixture max(now) over scopes equals the global fold bit-for-bit
-    (tests/test_politeness_unified.py); on a multi-host crawl it is the
-    FLEET virtual time — per-host sessions run in parallel — reported as
-    CrawlResult.scope_virtual_seconds (judge r3 #8)."""
+    (politeness.scope_schedule_full). The scope's carried state (now,
+    last_times) lives in `politeness_state` — ONE row per scope, fully
+    replaced per commit — so restoring state is an O(scopes) read of the
+    current snapshot, never a scan of the append-log's history (which
+    grows with waves x scopes; a latest-per-scope window over it would
+    make every wave's commit cost linear in crawl age). The append-log
+    `politeness` keeps the full per-commit audit trail.
+
+    Crash-replay exactness mirrors the append idempotence: if this
+    (wave, chunk, page) log row is already durable, the fold already
+    advanced the clock — the state table is REPAIRED from the logged rows
+    instead of re-folding (which would double-advance); the state commit
+    itself is idempotent by value. Empty event sets (chunk markers) commit
+    nothing and restore nothing.
+
+    On a single-scope fixture max(now) over scopes equals the global fold
+    bit-for-bit (tests/test_politeness_unified.py); on a multi-host crawl
+    it is the FLEET virtual time — per-host sessions run in parallel —
+    reported as CrawlResult.scope_virtual_seconds (judge r3 #8)."""
     base_host = base_url.split("://", 1)[-1].split("/", 1)[0].lower()
-    ev = pol_ev.withColumn("scope", F.concat_ws("#", "host", "salt"))
-    cur = cat.read(spark, "politeness")
-    if cur is not None and "commit_seq" in cur.columns:
-        w = Window.partitionBy("scope").orderBy(F.col("commit_seq").desc())
-        latest = (
-            cur.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select(
+    wmeta = meta or {"wave": wave}
+    chunk, page = wmeta.get("chunk"), wmeta.get("page")
+    cur_ver = cat.version("politeness")
+    durable = any(
+        e.get("wave") == wave
+        and e.get("chunk") == chunk
+        and e.get("page") == page
+        and e.get("version", 0) <= cur_ver
+        for e in cat.log("politeness")
+    )
+    state = cat.read(spark, "politeness_state")
+    if durable:
+        logged = cat.read(spark, "politeness")
+        match_chunk = (
+            F.col("chunk").isNull() if chunk is None
+            else F.col("chunk") == chunk
+        )
+        match_page = (
+            F.col("chunk_page").isNull() if page is None
+            else F.col("chunk_page") == page
+        )
+        summary = logged.filter(
+            (F.col("wave") == wave) & match_chunk & match_page
+        )
+    else:
+        ev = pol_ev.withColumn("scope", F.concat_ws("#", "host", "salt"))
+        if state is not None:
+            init = state.select(
                 "scope",
                 F.col("now").alias("init_now"),
                 F.col("last_times").alias("init_times"),
             )
+            ev = ev.join(F.broadcast(init), "scope", "left")
+        else:
+            ev = ev.withColumn(
+                "init_now", F.lit(None).cast("double")
+            ).withColumn("init_times", F.lit(None).cast("array<double>"))
+        summary = scope_schedule_full(ev, trailing_wait, base_host).select(
+            "scope", "host", "salt", "period", "n_requests", "finish_at",
+            "now", "last_times",
+            F.lit(wave).alias("wave"),
+            F.lit(chunk).cast("int").alias("chunk"),
+            F.lit(page).cast("int").alias("chunk_page"),
         )
-        ev = ev.join(F.broadcast(latest), "scope", "left")
-    else:
-        ev = ev.withColumn("init_now", F.lit(None).cast("double")).withColumn(
-            "init_times", F.lit(None).cast("array<double>")
+    summary = summary.persist()
+    try:
+        if summary.count() == 0:
+            return  # no events (chunk marker) — nothing to log or advance
+        if not durable:
+            cat.append(spark, summary, "politeness", meta=dict(wmeta))
+        new_rows = summary.select(
+            "scope", "host", "salt", "period", "now", "last_times"
         )
-    summary = scope_schedule_full(ev, trailing_wait, base_host)
-    commit_seq = cat.version("politeness") + 1
-    summary = summary.select(
-        "scope", "host", "salt", "period", "n_requests", "finish_at",
-        "now", "last_times",
-        F.lit(wave).alias("wave"),
-        F.lit(commit_seq).cast("long").alias("commit_seq"),
-    )
-    cat.append(spark, summary, "politeness", meta=meta or {"wave": wave})
+        if state is not None:
+            carried = state.join(
+                new_rows.select("scope"), "scope", "left_anti"
+            )
+            new_rows = carried.unionByName(new_rows)
+        cat.commit(new_rows, "politeness_state", meta=dict(wmeta))
+    finally:
+        summary.unpersist()
 
 
 def _band_links(

@@ -120,19 +120,26 @@ class CallbackResolver:
 
     `robots_urls` is the frontier-less host configuration for robots.txt.
 
-    Per-partition fan-out equals the frontier partitioning the driver
-    already chose (salted host buckets), so a live fetcher inherits the
-    engine's politeness-aware partition layout for free."""
+    The frontier is deduplicated (each URL fetched once) and then
+    REPARTITIONED by canonical host bucket before the Arrow stage — the
+    dedup's own shuffle would otherwise scatter a host's URLs across every
+    partition, and a live fetcher wants one partition's worth of
+    connections per host group (connection reuse, per-host pacing), the
+    same layout the driver's frontier uses."""
 
     def __init__(
         self,
         fetch: Callable[[str, str], dict | None],
         robots_urls: list[str] | None = None,
+        n_host_buckets: int = 32,
     ):
         self.fetch = fetch
         self.robots_urls = list(robots_urls or [])
+        self.n_host_buckets = n_host_buckets
 
     def _resolve(self, frontier, kind, schema, row_fn):
+        from crawlspark.canonical import host_bucket, host_of
+
         fetch = self.fetch
         columns = [field.split()[0] for field in schema.split(", ")]
 
@@ -147,7 +154,14 @@ class CallbackResolver:
                         rows.append(row_fn(url, got))
                 yield pd.DataFrame(rows, columns=columns)
 
-        return frontier.select("url").distinct().mapInPandas(run, schema=schema)
+        fr = (
+            frontier.select("url")
+            .distinct()
+            .repartition(
+                host_bucket(host_of(F.col("url")), self.n_host_buckets)
+            )
+        )
+        return fr.mapInPandas(run, schema=schema)
 
     def listing_bodies(self, spark, frontier, kind):
         return self._resolve(

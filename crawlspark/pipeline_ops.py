@@ -607,29 +607,27 @@ def ivf_pairs(
         F.round("sim", 6).desc(), F.col("label")
     )
     ranked = scored.withColumn("rn", F.row_number().over(w))
-    probes = ranked.filter(F.col("rn") <= nprobe).select(
-        "vec_id", "embedding", F.col("label").alias("bucket"), "rn"
+    # home = the rn=1 cell, attached as a window over the SAME probes frame
+    # (a separate homes self-join would re-run the scored lineage two more
+    # times — this keeps the pair join at exactly two references)
+    wh = Window.partitionBy("vec_id").orderBy("rn")
+    probes = (
+        ranked.filter(F.col("rn") <= nprobe)
+        .select("vec_id", "embedding", F.col("label").alias("bucket"), "rn")
+        .withColumn("home", F.first("bucket").over(wh))
     )
-    homes = probes.filter("rn = 1").select("vec_id", F.col("bucket").alias("home"))
     a, b = probes.alias("a"), probes.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .join(homes.select(F.col("vec_id").alias("a_id"), F.col("home").alias("home_a")),
-              F.col("a.vec_id") == F.col("a_id"))
-        .join(homes.select(F.col("vec_id").alias("b_id"), F.col("home").alias("home_b")),
-              F.col("b.vec_id") == F.col("b_id"))
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            F.round(
-                _vec_cos(F.col("a.embedding"), F.col("b.embedding")), 4
-            ).alias("cos_sim"),
-            (F.col("home_a") != F.col("home_b")).alias("cross_cell"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        F.round(
+            _vec_cos(F.col("a.embedding"), F.col("b.embedding")), 4
+        ).alias("cos_sim"),
+        (F.col("a.home") != F.col("b.home")).alias("cross_cell"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold).distinct()
 
@@ -655,18 +653,18 @@ def ivf_pairs(
                         DESC, ct.label) AS rn
       FROM corpus c, centv ct),
     probes AS (
-      SELECT vec_id, embedding, label AS bucket, rn FROM ranked WHERE rn <= 2),
-    homes AS (SELECT vec_id, bucket AS home FROM probes WHERE rn = 1)
+      SELECT vec_id, embedding, label AS bucket, rn,
+             first_value(label) OVER (PARTITION BY vec_id ORDER BY rn)
+               AS home
+      FROM ranked WHERE rn <= 2)
     SELECT DISTINCT doc_a, doc_b, cos_sim, cross_cell
     FROM (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
              round(list_cosine_similarity(a.embedding, b.embedding), 4)
                AS cos_sim,
-             (ha.home <> hb.home) AS cross_cell
+             (a.home <> b.home) AS cross_cell
       FROM probes a
-      JOIN probes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      JOIN homes ha ON ha.vec_id = a.vec_id
-      JOIN homes hb ON hb.vec_id = b.vec_id)
+      JOIN probes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     WHERE cos_sim >= 0.9
     """,
 )

@@ -18,9 +18,10 @@ from crawlspark.oracle import run_oracle
 from crawlspark.schema import PAGE_STORE
 
 # same spec family as test_retry_errors: both failure modes present, so the
-# seam is proven across retry accounting, not just the happy path
+# seam is proven across retry accounting, not just the happy path; robots
+# rules exercise the resolver's frontier-less robots_bodies path too
 SPEC = SiteSpec(pages=3, posts_per_page=8, dead_rate=0.15, flaky_rate=0.2,
-                seed=2)
+                seed=2, robots_rules=(("/community/101", False),))
 
 
 def _callback(rows: list[dict]):

@@ -33,12 +33,12 @@ def _run(spark, spec, wd, **kw):
 
 
 def _latest_scope_rows(spark, wd):
-    rows = Catalog(wd).read(spark, "politeness").collect()
-    latest: dict = {}
-    for r in rows:
-        cur = latest.get(r["scope"])
-        if cur is None or r["commit_seq"] > cur["commit_seq"]:
-            latest[r["scope"]] = r
+    # politeness_state holds exactly one row per scope — the current
+    # carried session clock (the append-log `politeness` is the audit
+    # trail; state restore never scans it)
+    rows = Catalog(wd).read(spark, "politeness_state").collect()
+    latest = {r["scope"]: r for r in rows}
+    assert len(latest) == len(rows), "state table must be one row per scope"
     return latest
 
 
@@ -49,6 +49,20 @@ def test_single_host_scope_fold_equals_global(spark, tmp_path):
     assert len(latest) == 1, f"expected one scope, got {sorted(latest)}"
     (row,) = latest.values()
     # bit-for-bit: one scope's session IS the reference's single session
+    assert row["now"] == result.virtual_seconds
+    assert result.scope_virtual_seconds == result.virtual_seconds
+
+
+def test_single_host_equality_under_chunked_cadence(spark, tmp_path):
+    # per-post checkpoint cadence commits per (page, chunk) with trailing
+    # inter-page waits only on page-final chunks — the per-scope fold's
+    # carried state must thread chunk-to-chunk exactly like the global
+    # bucket's (times, now)
+    wd = str(tmp_path / "chunked")
+    result = _run(spark, SINGLE, wd, posts_per_checkpoint=3)
+    latest = _latest_scope_rows(spark, wd)
+    assert len(latest) == 1
+    (row,) = latest.values()
     assert row["now"] == result.virtual_seconds
     assert result.scope_virtual_seconds == result.virtual_seconds
 
