@@ -55,17 +55,20 @@ def stream_crawl(
     run_id: str = "stream",
     listing_source: str = "render",
     image_keep_bytes: bool = True,
+    vacuum_keep_last: int = 8,
 ) -> None:
     """Consume all currently-available frontier files (Trigger.AvailableNow),
     one wave per micro-batch, then stop. Restart with the same
     ``stream_checkpoint`` to pick up newly arrived files — batch ids (and so
-    wave ids) continue where they left off."""
+    wave ids) continue where they left off. Retention rides each
+    micro-batch's commits exactly like the batch driver
+    (vacuum_keep_last; 0 = keep full history)."""
     page_store = page_store.cache()
     resolver = PageStoreResolver(page_store)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         wave = batch_id + 1
-        cat = Catalog(workdir)
+        cat = Catalog(workdir, vacuum_keep_last=vacuum_keep_last)
         done = {
             e["wave"]
             for e in cat.log("checkpoints")
