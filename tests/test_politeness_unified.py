@@ -67,6 +67,31 @@ def test_single_host_equality_under_chunked_cadence(spark, tmp_path):
     assert result.scope_virtual_seconds == result.virtual_seconds
 
 
+def test_state_repair_after_partial_politeness_commit(spark, tmp_path):
+    # crash window: wave 2's politeness LOG row became durable but the
+    # politeness_state commit (and everything after) did not. The replay
+    # must REPAIR the state table from the logged rows — re-folding would
+    # advance every scope's clock twice.
+    from test_midwave_replay import _rollback_last_commit
+
+    wd = str(tmp_path / "repair")
+    r1 = _run(spark, MULTI, wd, pages_per_wave=2)  # waves 1 and 2
+    expected = {
+        (r["scope"], r["now"], tuple(r["last_times"]))
+        for r in Catalog(wd).read(spark, "politeness_state").collect()
+    }
+    for t in ("politeness_state", "metrics", "seen", "checkpoints"):
+        _rollback_last_commit(wd, t)
+    r2 = _run(spark, MULTI, wd, pages_per_wave=2)
+    got = {
+        (r["scope"], r["now"], tuple(r["last_times"]))
+        for r in Catalog(wd).read(spark, "politeness_state").collect()
+    }
+    assert got == expected
+    assert r2.virtual_seconds == r1.virtual_seconds
+    assert r2.scope_virtual_seconds == r1.scope_virtual_seconds
+
+
 def test_multi_host_scope_clock_is_reported(spark, tmp_path):
     wd = str(tmp_path / "multi")
     result = _run(spark, MULTI, wd)
