@@ -616,6 +616,11 @@ def _process_links(
         "page",
         "pos_in_page",
     )
+    # three consumers (posts merge, file-link explode, download count)
+    # would each re-evaluate the regex-heavy detect array over the cached
+    # posts rows — cache the assembled records once instead (content-sized
+    # rows; post_body never enters this frame)
+    records = records.cache()
 
     # ---- stats (A1)
     n_posts = kept.count()
@@ -841,6 +846,7 @@ def _process_links(
     # update bloom with this wave's URLs
     bloom.add_urls(links)
     pol_ev.unpersist()
+    records.unpersist()
     fetched.unpersist()
     posts.unpersist()
     images_out.unpersist()
