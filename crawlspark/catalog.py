@@ -349,9 +349,14 @@ class Catalog:
             self.compact(spark, table, partition_by)
         # retention rides the commit lifecycle when enabled: expire old
         # snapshots + orphaned dirs right after the write, so history never
-        # outgrows vacuum_keep_last between operator interventions
+        # outgrows vacuum_keep_last between operator interventions. Clamped
+        # to >= 2 here (unlike the offline CLI vacuum): with keep_last=1 an
+        # append that auto-compacts would delete the pre-compaction delta
+        # dirs while same-wave cached frames (todo/links/seen lineage) still
+        # reference them — a cache eviction or task retry would then fail
+        # the crawl with FileNotFoundException mid-run
         if self.vacuum_keep_last:
-            self.vacuum(table, self.vacuum_keep_last)
+            self.vacuum(table, max(2, self.vacuum_keep_last))
         return os.path.join(self._tdir(table), rel)
 
     def merge_new(

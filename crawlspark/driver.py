@@ -455,7 +455,20 @@ def _run_wave_chunks(
     return totals, vsec_total
 
 
-def _process_links(
+def _process_links(*args, **kwargs) -> tuple[dict, float]:
+    """Crash-safe cache lifecycle around the wave body: every frame the
+    body persists is registered and unpersisted here in a finally, so an
+    exception anywhere in the commit sequence can never leak content-sized
+    cached frames for the life of the session."""
+    persisted: list[DataFrame] = []
+    try:
+        return _process_links_body(*args, _persisted=persisted, **kwargs)
+    finally:
+        for df in persisted:
+            df.unpersist()
+
+
+def _process_links_body(
     spark: SparkSession,
     cat: Catalog,
     bloom: ShardedBloomSeen,
@@ -474,6 +487,7 @@ def _process_links(
     chunk: int | None = None,
     chunk_page: int | None = None,
     trailing_wait: float = WAIT_BETWEEN_PAGES,
+    _persisted: list[DataFrame] | None = None,
 ) -> tuple[dict, float]:
     """Fetch -> parse -> detect -> commit for one link set (a whole wave, or
     one chunk of it under the per-post checkpoint cadence). `listing_pages`
@@ -482,6 +496,7 @@ def _process_links(
     wmeta: dict = {"wave": wave}
     if chunk is not None:
         wmeta = {"wave": wave, "chunk": chunk, "page": chunk_page}
+    reg = _persisted.append if _persisted is not None else (lambda df: None)
     # ---- S4: post fetch with retry/error semantics (config.py:87-89: up to
     # MAX_FETCH_ATTEMPTS attempts, RETRY_DELAY backoff per failure — see
     # _virtual_seconds). The synthetic fetcher is deterministic (attempt k's
@@ -506,6 +521,7 @@ def _process_links(
         .withColumn("post_id", F.element_at(F.split("url", "/"), -1))
     )
     fetched = fetched.cache()
+    reg(fetched)
 
     # ---- S12: error sink — posts that exhausted retries
     errors_df = fetched.filter(~F.col("alive")).select(
@@ -536,6 +552,7 @@ def _process_links(
         "kept", ops.keep_predicate(F.col("is_vip"), F.col("post_count"))
     )
     posts = posts.cache()
+    reg(posts)
     kept = posts.filter("kept")
 
     # ---- P9/P10/W1: ordered image rows for kept posts
@@ -543,6 +560,11 @@ def _process_links(
         kept.select("post_id", "page", "pos_in_page", "parsed"), base_url
     )
     imgs = imgs.withColumn("fmt", ops.infer_ext(F.col("img_url")))
+    # politeness needs only the request identity (page, pos, url, idx);
+    # taking it BEFORE the payload join means materializing the politeness
+    # event frame never re-evaluates the fetch+decode lineage — with a live
+    # resolver that would fetch every image a second time per wave
+    img_req = imgs.select("page", "pos_in_page", "img_url", "img_idx")
     # S5: image fetch (⋈ payload) + decode — bytes stay within this stage
     imgs = imgs.join(
         resolver.payloads(
@@ -578,6 +600,7 @@ def _process_links(
     if not image_keep_bytes:
         images_out = images_out.withColumn("bytes", F.lit(None).cast("binary"))
     images_out = images_out.cache()
+    reg(images_out)
 
     # ---- P5-P8 + P11-P19 + A2-A4: record assembly — detection is a per-row
     # array expression (ops.detect_downloads_array), so this whole block is
@@ -621,6 +644,7 @@ def _process_links(
     # posts rows — cache the assembled records once instead (content-sized
     # rows; post_body never enters this frame)
     records = records.cache()
+    reg(records)
 
     # ---- stats (A1)
     n_posts = kept.count()
@@ -656,9 +680,10 @@ def _process_links(
         ):
             replayed_meta = e
     pol_ev = _politeness_events(
-        spark, events, imgs, listing_pages, base_url, hot_hosts,
+        spark, events, img_req, listing_pages, base_url, hot_hosts,
         hot_host_salts,
     ).persist()
+    reg(pol_ev)
     if replayed_meta is not None:
         bucket.times = list(replayed_meta.get("bucket_times") or [])
         bucket.now = float(replayed_meta.get("bucket_now", 0.0))
@@ -843,13 +868,9 @@ def _process_links(
     # a chunk's entry records the within-wave (page, chunk) offset
     cat.append(spark, cp, "checkpoints", meta=dict(wmeta))
 
-    # update bloom with this wave's URLs
+    # update bloom with this wave's URLs (unpersists happen in the
+    # _process_links wrapper's finally — crash-safe)
     bloom.add_urls(links)
-    pol_ev.unpersist()
-    records.unpersist()
-    fetched.unpersist()
-    posts.unpersist()
-    images_out.unpersist()
     return stats, vsec
 
 
@@ -901,6 +922,20 @@ def _commit_politeness(
     state = cat.read(spark, "politeness_state")
     if durable:
         logged = cat.read(spark, "politeness")
+        # a workdir written before the unified per-scope fold logs
+        # politeness rows without the carried-state columns — repairing
+        # from them is impossible; fail with a migration message instead
+        # of an AnalysisException deep inside a select
+        missing = {"now", "last_times", "chunk", "chunk_page"} - set(
+            logged.columns if logged is not None else []
+        )
+        if missing:
+            raise RuntimeError(
+                "incompatible workdir version: `politeness` table lacks "
+                f"columns {sorted(missing)} (written by a pre-scope-state "
+                "engine). Resume is not possible from this workdir; re-run "
+                "the crawl fresh or `cli.py reset` the politeness tables."
+            )
         match_chunk = (
             F.col("chunk").isNull() if chunk is None
             else F.col("chunk") == chunk

@@ -174,7 +174,7 @@ class CallbackResolver:
             "post",
             POST_ROWS_SCHEMA,
             lambda u, g: (
-                u, g["body"], int(g.get("fail_attempts", 0)), g.get("netlog"),
+                u, g["body"], int(g.get("fail_attempts") or 0), g.get("netlog"),
             ),
         )
 

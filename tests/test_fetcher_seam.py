@@ -100,3 +100,64 @@ def test_seam_matches_sequential_oracle(site, both):
     golden = run_oracle(site)
     (_, _), (r_cb, cat_cb) = both
     assert r_cb.stats == golden.stats
+
+
+def _counting_callback(rows: list[dict], trace_dir: str):
+    """Wrap the fixture callback with an executor-side per-call trace file
+    (same pattern as parse.set_parse_trace) so the test can count how many
+    times each URL was ACTUALLY fetched across the whole crawl."""
+    inner = _callback(rows)
+
+    def fetch(kind: str, url: str) -> dict | None:
+        import os
+        import uuid
+
+        path = os.path.join(
+            trace_dir, f"{kind}-{os.getpid()}-{uuid.uuid4().hex}"
+        )
+        with open(path, "w") as f:
+            f.write(url)
+        return inner(kind, url)
+
+    return fetch
+
+
+def test_live_resolver_fetches_each_url_once(spark, site, tmp_path):
+    """Advisor r4 (medium): the politeness event frame used to be built from
+    the post-payload-join image frame, so materializing it re-ran the image
+    fetch lineage — every image fetched TWICE per wave with a live resolver.
+    Image events now derive from the pre-join frame; this pins fetch counts
+    to exactly one per URL (image URLs are globally unique in the fixture)."""
+    rows = page_store_rows(site)
+    trace = tmp_path / "fetch-trace"
+    trace.mkdir()
+    resolver = CallbackResolver(
+        _counting_callback(rows, str(trace)),
+        robots_urls=[r["url"] for r in rows if r["kind"] == "robots"],
+    )
+    store = spark.createDataFrame(rows, PAGE_STORE)
+    crawl(
+        spark, store.limit(0), SPEC.base_url, str(tmp_path / "wd"),
+        pages=SPEC.pages, pages_per_wave=2, run_id="count", resolver=resolver,
+    )
+    for kind in ("image", "post", "listing"):
+        urls = [
+            p.read_text()
+            for p in trace.iterdir()
+            if p.name.startswith(f"{kind}-")
+        ]
+        assert urls, kind
+        dupes = {u for u in urls if urls.count(u) > 1}
+        assert not dupes, f"{kind} fetched more than once: {sorted(dupes)[:5]}"
+
+
+def test_callback_fail_attempts_none_is_zero(spark):
+    """Advisor r4 (low): an explicit {'fail_attempts': None} from a callback
+    must read as 0 failed attempts (the key is documented optional), not
+    raise TypeError inside the Arrow stage."""
+    resolver = CallbackResolver(
+        lambda kind, url: {"body": "<html></html>", "fail_attempts": None}
+    )
+    fr = spark.createDataFrame([("http://x/1",)], "url string")
+    rows = resolver.post_rows(spark, fr).collect()
+    assert rows[0]["fail_attempts"] == 0

@@ -59,3 +59,30 @@ def test_politeness_scopes(spark, tmp_path):
             continue  # post fetches carry nav sleeps
         want = ((r["n_requests"] - 1) // RATE_LIMIT_REQUESTS) * r["period"]
         assert r["finish_at"] == want, r["scope"]
+
+
+def test_legacy_politeness_schema_raises_migration_error(spark, tmp_path):
+    """Advisor r4 (low): resuming a workdir whose `politeness` table predates
+    the unified per-scope fold (no carried-state columns) must fail with a
+    clear incompatible-workdir message, not an AnalysisException deep inside
+    the durable-repair select."""
+    import pytest
+
+    from crawlspark import driver
+
+    cat = Catalog(str(tmp_path / "legacy"))
+    legacy = spark.createDataFrame(
+        [("h#0", "h", 0, 10.0, 3, 12.0, 0)],
+        "scope string, host string, salt int, period double,"
+        " n_requests long, finish_at double, wave int",
+    )
+    cat.append(spark, legacy, "politeness", meta={"wave": 0})
+    ev = spark.createDataFrame(
+        [],
+        "seq long, emits double, extra double, host string, salt int,"
+        " period double",
+    )
+    with pytest.raises(RuntimeError, match="incompatible workdir"):
+        driver._commit_politeness(
+            spark, cat, ev, 0, 1.0, "https://weolbu.com", meta={"wave": 0}
+        )

@@ -66,6 +66,22 @@ def test_lifecycle_bounds_snapshots_and_matches_unvacuumed(
         cat_k.read(spark, "seen", version=1)
 
 
+def test_lifecycle_keep1_clamped_to_2(spark, store, tmp_path):
+    """Advisor r4 (low): commit-path retention with keep_last=1 plus
+    auto-compaction would delete pre-compaction delta dirs while same-wave
+    cached frames still reference them (FileNotFoundException on cache
+    eviction / task retry). The lifecycle vacuum clamps to >= 2; only the
+    offline CLI vacuum may trim to 1."""
+    wd = str(tmp_path / "keep1")
+    r1 = _crawl(spark, store, wd, keep=1)
+    r2 = _crawl(spark, store, str(tmp_path / "keep2b"), keep=2)
+    assert r1.stats == r2.stats  # crawl unaffected, just bounded history
+    counts = _snap_counts(wd)
+    assert all(n <= 2 for n in counts.values()), counts
+    # multi-commit tables retain 2 snapshots (clamped), not 1
+    assert any(n == 2 for n in counts.values()), counts
+
+
 def test_cli_vacuum_subcommand(spark, store, tmp_path, capsys):
     from crawlspark.cli import main
 
