@@ -47,6 +47,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "text_quality_score",
+    # image axis (round 5): phash band-LSH near-dup + caption dedup —
+    # round-over-round suite-seconds comparisons should subtract these
+    # two keys when comparing against BENCH_r04 and earlier
+    "img_phash_neardup",
+    "img_caption_quality_dedup",
 ]
 
 CRAWL_BENCH_POSTS = int(os.environ.get("CRAWLSPARK_BENCH_POSTS", "500000"))

@@ -428,19 +428,31 @@ def p20_session_expiry(spark, sf_dir):
                 THEN string_split(
                        string_split(string_split(url, '/')[-1], '.')[-1],
                        '?')[1]
-                ELSE 'jpg' END AS ext
+                ELSE 'jpg' END AS ext,
+           doc_ext,
+           CASE doc_ext WHEN 'ppt' THEN 'pptx' WHEN 'doc' THEN 'docx'
+                WHEN 'xls' THEN 'xlsx' ELSE doc_ext END AS norm
     FROM (
       SELECT concat('https://cdn.example.com/p/', p_partkey, '.',
                     CASE p_partkey % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                          WHEN 2 THEN 'svg' WHEN 3 THEN 'webp' WHEN 4 THEN 'gif'
                          WHEN 5 THEN 'JPG' ELSE 'bin' END,
-                    CASE WHEN p_partkey % 3 = 0 THEN '?v=2' ELSE '' END) AS url
+                    CASE WHEN p_partkey % 3 = 0 THEN '?v=2' ELSE '' END) AS url,
+             CASE p_partkey % 6 WHEN 0 THEN 'ppt' WHEN 1 THEN 'pptx'
+                  WHEN 2 THEN 'doc' WHEN 3 THEN 'xls' WHEN 4 THEN 'hwp'
+                  ELSE 'pdf' END AS doc_ext
       FROM part)
     """,
 )
 def p10_ext_infer(spark, sf_dir):
-    """P10 extension inference (crawler.py:576-580) over synthesized URLs."""
-    from crawlspark.ops import infer_ext
+    """P10 extension inference (crawler.py:576-580) over synthesized URLs,
+    now also carrying P18 format normalization (download_detector.py:64-70
+    — the former `p18_format_normalize` entry, consolidated so the
+    registry stays within the driver's 50-row correctness snapshot):
+    `doc_ext` is the P18 ext synthesis over the SAME part rows and `norm`
+    is ops.normalize_format applied to it, value-hashed per-row (stronger
+    than p18's 6 grouped rows were)."""
+    from crawlspark.ops import infer_ext, normalize_format
 
     p = _t(spark, sf_dir, "part")
     url = F.concat(
@@ -456,7 +468,19 @@ def p10_ext_infer(spark, sf_dir):
         ),
         F.when(F.col("p_partkey") % 3 == 0, F.lit("?v=2")).otherwise(F.lit("")),
     )
-    return p.select(url.alias("url")).select("url", infer_ext(F.col("url")).alias("ext"))
+    doc_ext = F.element_at(
+        F.array(
+            F.lit("ppt"), F.lit("pptx"), F.lit("doc"), F.lit("xls"),
+            F.lit("hwp"), F.lit("pdf"),
+        ),
+        (F.col("p_partkey") % 6 + 1).cast("int"),
+    )
+    return p.select(url.alias("url"), doc_ext.alias("doc_ext")).select(
+        "url",
+        infer_ext(F.col("url")).alias("ext"),
+        "doc_ext",
+        normalize_format(F.col("doc_ext")).alias("norm"),
+    )
 
 
 @register(
@@ -480,41 +504,6 @@ def p12_file_reference_scan(spark, sf_dir):
         "doc_id",
         F.array_join(F.array_sort(F.array_distinct(refs)), ",").alias("refs"),
         F.size(refs).alias("n_refs"),
-    )
-
-
-@register(
-    "p18_format_normalize",
-    """
-    SELECT ext,
-           CASE ext WHEN 'ppt' THEN 'pptx' WHEN 'doc' THEN 'docx'
-                    WHEN 'xls' THEN 'xlsx' ELSE ext END AS norm,
-           count(*) AS n
-    FROM (
-      SELECT CASE p_partkey % 6 WHEN 0 THEN 'ppt' WHEN 1 THEN 'pptx'
-                  WHEN 2 THEN 'doc' WHEN 3 THEN 'xls' WHEN 4 THEN 'hwp'
-                  ELSE 'pdf' END AS ext
-      FROM part)
-    GROUP BY ext
-    """,
-)
-def p18_format_normalize(spark, sf_dir):
-    """P18 format normalization (download_detector.py:64-70)."""
-    from crawlspark.ops import normalize_format
-
-    p = _t(spark, sf_dir, "part")
-    ext = F.element_at(
-        F.array(
-            F.lit("ppt"), F.lit("pptx"), F.lit("doc"), F.lit("xls"),
-            F.lit("hwp"), F.lit("pdf"),
-        ),
-        (F.col("p_partkey") % 6 + 1).cast("int"),
-    )
-    return (
-        p.select(ext.alias("ext"))
-        .groupBy("ext")
-        .agg(F.count("*").alias("n"))
-        .select("ext", normalize_format(F.col("ext")).alias("norm"), "n")
     )
 
 
@@ -1021,17 +1010,30 @@ def st1_sessionize(spark, sf_dir):
     "st2_tumbling_window",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win,
-           event_type, count(*) AS n, round(sum(value), 4) AS total
+           event_type, count(*) AS n, round(sum(value), 4) AS total,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
     FROM events GROUP BY 1, 2
     """,
 )
 def st2_tumbling_window(spark, sf_dir):
-    """Tumbling-window aggregation (Structured Streaming window analog)."""
+    """Tumbling-window aggregation (Structured Streaming window analog),
+    now also carrying the JSON scalar-extraction surface (the former
+    `st3_json_extract` entry, consolidated for the driver's 50-row
+    snapshot): avg_k/max_k are get_json_object over the props column
+    aggregated per window — the P16-family JSON path exercised inside
+    the same events scan."""
     e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
     return e.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("win"),
         "event_type",
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
 
 
 # =====================================================================
@@ -1152,20 +1154,3 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
-@register(
-    "st3_json_extract",
-    """
-    SELECT event_type,
-           round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
-           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
-    FROM events GROUP BY event_type
-    """,
-)
-def st3_json_extract(spark, sf_dir):
-    """P16 network-log JSON pipeline (download_detector.py:333-349):
-    from_json scalar extraction + aggregate."""
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
-    )

@@ -468,84 +468,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    """
-    SELECT doc_a, doc_b, round(sim, 4) AS cos_sim
-    FROM (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             list_cosine_similarity(a.embedding, b.embedding) AS sim
-      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS embedding
-            FROM embeddings
-            UNION ALL
-            SELECT vec_id + 10000000, label,
-                   list_transform(embedding::DOUBLE[], x -> x + 0.02)
-            FROM embeddings WHERE vec_id % 50 = 0) a
-      JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS embedding
-            FROM embeddings
-            UNION ALL
-            SELECT vec_id + 10000000, label,
-                   list_transform(embedding::DOUBLE[], x -> x + 0.02)
-            FROM embeddings WHERE vec_id % 50 = 0) b
-        ON a.vec_id < b.vec_id AND a.label = b.label)
-    WHERE round(sim, 4) >= 0.9
-    """,
-)
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup: candidate pairs blocked by label (the
-    cluster id stands in for an LSH/IVF bucket — the scale path never does
-    the full cross join), cosine >= 0.9 confirmed exactly.
-
-    The synthetic embeddings corpus has NO natural near-dups (max in-label
-    cosine ~0.51), which made the original query green-but-vacuous (0
-    rows). Deterministic planted near-dups (every 50th vector, +0.02 per
-    coordinate -> cos ~0.987) make the threshold path actually verified;
-    double precision on BOTH sides so round(...,4) can't straddle
-    float/double boundaries."""
-    base = _t(spark, sf_dir, "embeddings")
-    as_double = base.select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    planted = base.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        "label",
-        F.transform(
-            "embedding", lambda x: x.cast("double") + F.lit(0.02)
-        ).alias("embedding"),
-    )
-    e = as_double.unionByName(planted)
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.vec_id") < F.col("b.vec_id"))
-        & (F.col("a.label") == F.col("b.label")),
-    ).select(
-        F.col("a.vec_id").alias("doc_a"),
-        F.col("b.vec_id").alias("doc_b"),
-        (
-            dot(F.col("a.embedding"), F.col("b.embedding"))
-            / (
-                F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
-                * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
-            )
-        ).alias("sim"),
-    )
-    return (
-        pairs.withColumn("cos_sim", F.round("sim", 4))
-        .filter("cos_sim >= 0.9")
-        .select("doc_a", "doc_b", "cos_sim")
-    )
-
-
 def _vec_dot(x, y):
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q),
@@ -680,9 +602,13 @@ def dedup_embedding_ivf(spark, sf_dir):
     evidence: true iff the pair's home cells differ, i.e. single-probe IVF
     would have missed it (tests/test_ivf_multiprobe.py plants such a
     boundary pair and proves nprobe=1 recall < 1 while nprobe=2 = 1).
-    Unlike dedup_embedding_cosine (which blocks on the GIVEN label), the
-    blocking key here is computed from the vectors alone — the shape a real
-    pipeline needs when incoming data is unlabeled. At scale: corpus x
+    This entry IS the embedding-cosine near-dup op of the graft brief
+    (the former `dedup_embedding_cosine` entry — candidate pairs blocked
+    on the GIVEN label, exact cosine >= 0.9 confirm — is consolidated
+    into it for the driver's 50-row snapshot): the exact-cosine confirm
+    over the same planted +0.02 near-dups rides the IVF candidate set,
+    and the blocking key here is computed from the vectors alone — the
+    shape a real pipeline needs when incoming data is unlabeled. At scale: corpus x
     K-centroid broadcast join for assignment, then a cell-keyed self-join
     whose fan-out is bounded by nprobe x cell size; no all-pairs path
     exists."""
@@ -1128,3 +1054,328 @@ def multimodal_frame_sample(spark, sf_dir):
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "phash"])
 
     return d.mapInPandas(pipe, schema="doc_id long, frame_idx int, phash long")
+
+
+# ------------------------------------------------------------ image axis
+# The graft cell's payload is IMAGE data (BASELINE.json input_hint: an
+# image+caption table (image_id, bytes, w, h, fmt, caption, phash:int64)).
+# The ops below are the downstream half of that pipeline: once ingest has
+# decoded bytes -> phash exactly once (multimodal_decode_resize / the
+# engine's S5 image stage, imageops.py), near-dup detection, clustering,
+# and caption-level dedup all run over the int64 phash / string caption
+# columns — no image bytes ever cross a shuffle again. That split (Arrow
+# decode stage emits scalars; relational ops consume scalars) is the shape
+# that survives 100 TB of image bytes.
+
+PHASH_BAND_BITS = 16
+PHASH_NBANDS = 4  # 4 x 16 = the full 64-bit hash
+PHASH_HAM_T = 8  # near-dup iff hamming(phash_a, phash_b) <= 8
+
+
+def phash_neardup_pairs(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    threshold: int = PHASH_HAM_T,
+) -> DataFrame:
+    """Perceptual-hash near-dup pairs over ANY (id, phash:int64) frame —
+    band LSH exactly like dedup_minhash_lsh_pairs, but the bands are the
+    four 16-bit slices of the 64-bit phash itself (a pair within hamming
+    distance d matches on >= 4 - d bands, so every pair with d <= 3 is
+    guaranteed a shared band; d in 4..8 is found unless the flipped bits
+    straddle all four bands — the documented LSH recall bound, evidenced
+    by the planted all-band-straddling pair in the contract fixture).
+
+    Plan shape: ONE shuffle on (band_id, band_val); pairs are generated
+    INSIDE the grouped array with higher-order functions (a bucket
+    self-join would re-scan the input per side); hamming is
+    bit_count(xor) on the pair's two phashes carried through the array —
+    zero joins anywhere, never O(n^2) across the corpus. Rows with NULL
+    phash (failed decodes) are excluded up front."""
+    src = imgs.select(
+        F.col(id_col).alias("image_id"), F.col(phash_col).alias("phash")
+    ).filter(F.col("phash").isNotNull())
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.shiftright(F.col("phash"), b * PHASH_BAND_BITS).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(PHASH_NBANDS)
+        ]
+    )
+    expl = src.select(
+        "image_id", "phash", F.posexplode(bands).alias("band_id", "band_val")
+    )
+    grouped = (
+        expl.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_set(F.struct("image_id", "phash"))).alias("m"))
+        .filter(F.size("m") > 1)
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m)), y -> struct("
+                    "x.image_id AS img_a, y.image_id AS img_b, "
+                    "x.phash AS ph_a, y.phash AS ph_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.img_a", "p.img_b", "p.ph_a", "p.ph_b")
+        .distinct()  # a pair sharing k bands appears k times
+    )
+    return pairs.select(
+        "img_a",
+        "img_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= threshold)
+
+
+def _lcg_phash(i):
+    """Deterministic 62-bit pseudo-phash from two 31-bit LCG streams —
+    closed-form arithmetic both engines evaluate identically in int64
+    (no overflow: each stream < 2^31, combined < 2^62, always >= 0 so
+    arithmetic >> == logical >>)."""
+    a = (i * 48271 + 11) % 2147483647
+    b = (i * 69621 + 7) % 2147483647
+    return a * F.lit(2147483648).cast("long") + b
+
+
+def _ph_sql(e: str) -> str:
+    return (
+        f"((({e}) * 48271 + 11) % 2147483647) * 2147483648"
+        f" + ((({e}) * 69621 + 7) % 2147483647)"
+    )
+
+
+# 3 bits flipped inside band 0 -> bands 1-3 still match (LSH finds it)
+_NEAR_MASK = 21
+# 1 bit flipped in EACH of the 4 bands -> hamming 4 (a true near-dup at
+# T=8) but zero shared bands: the planted LSH recall hole
+_STRADDLE_MASK = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+
+
+def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint-shaped images frame (minus the bytes column) derived
+    deterministically from `documents` — image_id, phash, w, h, fmt,
+    caption. Planted structure (closed-form, so the DuckDB oracle
+    reconstructs it arithmetically, no fixture file):
+
+    - every i ≡ 0 (mod 40) anchors a near-dup triple: i+1 carries
+      phash(i) with 3 bits of band 0 flipped (hamming 3), i+2 carries
+      phash(i) exactly (hamming 0) — so pairs (i,i+1), (i,i+2), (i+1,i+2)
+      are all band-reachable and the triple is one connected component;
+    - i ≡ 7 (mod 500): phash(i-7) with one bit flipped per band —
+      hamming 4 (a real near-dup) that shares NO band with its source:
+      the measured LSH recall hole (asserted missed in tests);
+    - quality-gate violations: i ≡ 0 (mod 11) -> 160x120 (min-res fail),
+      else i ≡ 0 (mod 13) -> 2048x512 (aspect fail), CASE order matters
+      and is mirrored in SQL;
+    - captions repeat per (i mod 120) with case/whitespace variants per
+      (i mod 3) and empty captions at i ≡ 0 (mod 17) — normalization has
+      real work to do."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    phash = (
+        F.when(i % 40 == 1, _lcg_phash(i - 1).bitwiseXOR(F.lit(_NEAR_MASK)))
+        .when(i % 40 == 2, _lcg_phash(i - 2))
+        .when(
+            i % 500 == 7, _lcg_phash(i - 7).bitwiseXOR(F.lit(_STRADDLE_MASK))
+        )
+        .otherwise(_lcg_phash(i))
+    )
+    w = (
+        F.when(i % 11 == 0, 160)
+        .when(i % 13 == 0, 2048)
+        .otherwise((512 + (i % 5) * 128).cast("int"))
+    )
+    h = (
+        F.when(i % 11 == 0, 120)
+        .when(i % 13 == 0, 512)
+        .otherwise((512 + (i % 3) * 128).cast("int"))
+    )
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")),
+        (i % 3 + 1).cast("int"),
+    )
+    base_cap = F.concat(
+        F.lit("a photo of item "),
+        (i % 120).cast("string"),
+        F.lit(" on display"),
+    )
+    caption = (
+        F.when(i % 17 == 0, F.lit(""))
+        .when(i % 3 == 1, F.upper(base_cap))
+        .when(i % 3 == 2, F.replace(base_cap, F.lit(" "), F.lit("  ")))
+        .otherwise(base_cap)
+    )
+    return d.select(
+        i.alias("image_id"),
+        phash.alias("phash"),
+        w.cast("int").alias("w"),
+        h.cast("int").alias("h"),
+        fmt.alias("fmt"),
+        caption.alias("caption"),
+    )
+
+
+_IMG_CTE = f"""imgs AS (
+      SELECT doc_id AS image_id,
+             CASE WHEN doc_id % 40 = 1
+                    THEN xor({_ph_sql("doc_id - 1")}, {_NEAR_MASK})
+                  WHEN doc_id % 40 = 2 THEN {_ph_sql("doc_id - 2")}
+                  WHEN doc_id % 500 = 7
+                    THEN xor({_ph_sql("doc_id - 7")}, {_STRADDLE_MASK})
+                  ELSE {_ph_sql("doc_id")} END AS phash,
+             CASE WHEN doc_id % 11 = 0 THEN 160
+                  WHEN doc_id % 13 = 0 THEN 2048
+                  ELSE 512 + (doc_id % 5) * 128 END AS w,
+             CASE WHEN doc_id % 11 = 0 THEN 120
+                  WHEN doc_id % 13 = 0 THEN 512
+                  ELSE 512 + (doc_id % 3) * 128 END AS h,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'webp' END AS fmt,
+             CASE WHEN doc_id % 17 = 0 THEN ''
+                  WHEN doc_id % 3 = 1
+                    THEN upper(concat('a photo of item ', doc_id % 120,
+                                      ' on display'))
+                  WHEN doc_id % 3 = 2
+                    THEN replace(concat('a photo of item ', doc_id % 120,
+                                        ' on display'), ' ', '  ')
+                  ELSE concat('a photo of item ', doc_id % 120,
+                              ' on display') END AS caption
+      FROM documents)"""
+
+_BAND_MATCH_SQL = " OR ".join(
+    f"((a.phash >> {16 * b}) & 65535) = ((c.phash >> {16 * b}) & 65535)"
+    for b in range(PHASH_NBANDS)
+)
+
+
+@register(
+    "img_phash_neardup",
+    f"""
+    WITH {_IMG_CTE}
+    SELECT a.image_id AS img_a, c.image_id AS img_b,
+           bit_count(xor(a.phash, c.phash)) AS hamming
+    FROM imgs a JOIN imgs c ON a.image_id < c.image_id
+    WHERE ({_BAND_MATCH_SQL})
+      AND bit_count(xor(a.phash, c.phash)) <= {PHASH_HAM_T}
+    """,
+)
+def img_phash_neardup(spark, sf_dir):
+    """Image near-dup pairs over the 64-bit perceptual hash: 16-bit band
+    LSH -> in-array pair generation -> bit_count(xor) hamming confirm
+    (<= 8). The oracle brute-forces all pairs under the SAME band
+    condition, so both sides verify the lsh->confirm pipeline INCLUDING
+    its recall bound: the planted all-band-straddling pair (hamming 4,
+    no shared band) is absent from both, and tests/test_image_neardup.py
+    asserts the threshold-only brute force DOES see it.
+
+    At 100 TB the input is the ingest stage's (image_id, phash) scalars —
+    bytes were dropped at decode; the shuffle is 4 rows of
+    (band_id, int16, id, int64) per image and no join exists in the
+    plan (PLANS.md: NoJoin, NoCartesian)."""
+    return phash_neardup_pairs(synth_images(spark, sf_dir))
+
+
+@register(
+    "img_phash_clusters",
+    f"""
+    WITH RECURSIVE {_IMG_CTE},
+    cand AS (
+      SELECT a.image_id AS ia, c.image_id AS ib
+      FROM imgs a JOIN imgs c ON a.image_id < c.image_id
+      WHERE ({_BAND_MATCH_SQL})
+        AND bit_count(xor(a.phash, c.phash)) <= {PHASH_HAM_T}
+    ),
+    edges AS (
+      SELECT ia AS a, ib AS b FROM cand
+      UNION
+      SELECT ib AS a, ia AS b FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS image_id, least(a, min(b)) AS cluster
+    FROM reach
+    GROUP BY a
+    """,
+)
+def img_phash_clusters(spark, sf_dir):
+    """Image near-dup CLUSTERS: connected components (the same
+    cluster_from_pairs min-label propagation as dedup_cluster_assign,
+    reused verbatim — one op, two payloads) over the phash near-dup
+    pairs, so an image-dedup pass can keep one representative per
+    duplicate group. The planted triples {{i, i+1, i+2}} at i ≡ 0 (mod
+    40) each collapse to cluster label i. Oracle: recursive transitive
+    closure over the same band-reachable pair set."""
+    pairs = img_phash_neardup(spark, sf_dir).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    return cluster_from_pairs(pairs).select(
+        F.col("doc_id").alias("image_id"), "cluster"
+    )
+
+
+@register(
+    "img_caption_quality_dedup",
+    f"""
+    WITH {_IMG_CTE},
+    normed AS (
+      SELECT image_id, w, h,
+             trim(regexp_replace(lower(caption), '\\s+', ' ', 'g'))
+               AS caption_norm
+      FROM imgs),
+    flagged AS (
+      SELECT image_id, caption_norm,
+             (least(w, h) >= 512 AND w / h <= 2.0
+              AND caption_norm <> ''
+              AND len(string_split(caption_norm, ' ')) >= 3) AS passes
+      FROM normed)
+    SELECT caption_norm,
+           min(CASE WHEN passes THEN image_id END) AS keeper_id,
+           count(*) AS n_total,
+           count(CASE WHEN passes THEN 1 END) AS n_pass
+    FROM flagged
+    GROUP BY caption_norm
+    HAVING count(CASE WHEN passes THEN 1 END) >= 1
+    """,
+)
+def img_caption_quality_dedup(spark, sf_dir):
+    """Caption-level image dedup with quality gates — the filter+dedup
+    stage of an image-text training pipeline (LAION-style): normalize the
+    caption (lower, collapse whitespace, trim — the case/double-space
+    variants planted by synth_images normalize to the same key), gate on
+    min-resolution >= 512, aspect <= 2.0, and a non-trivial caption, then
+    keep the FIRST passing image per normalized caption (min image_id =
+    deterministic crawl order) with group totals as dedup evidence.
+
+    One scan, one groupBy(caption_norm) shuffle of scalar columns only;
+    at skew (one viral caption) the group payload is still counts+min,
+    never rows."""
+    imgs = synth_images(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower("caption"), r"\s+", " "))
+    flagged = imgs.select(
+        "image_id",
+        norm.alias("caption_norm"),
+        (
+            (F.least("w", "h") >= 512)
+            & (F.col("w") / F.col("h") <= 2.0)
+            & (norm != "")
+            & (F.size(F.split(norm, " ")) >= 3)
+        ).alias("passes"),
+    )
+    return (
+        flagged.groupBy("caption_norm")
+        .agg(
+            F.min(F.when(F.col("passes"), F.col("image_id"))).alias("keeper_id"),
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("passes"), 1)).alias("n_pass"),
+        )
+        .filter(F.col("n_pass") >= 1)
+    )

@@ -111,6 +111,22 @@ CHECKS = {
         "BroadcastCodebook": r"BroadcastNestedLoopJoin|BroadcastHashJoin",
         "NoCartesian": r"^(?!.*CartesianProduct)",
     },
+    "img_phash_neardup": {
+        # phash band LSH: ONE shuffle on (band_id, band_val); pairs +
+        # hamming come from in-array HOFs — zero joins in the plan, and
+        # only doc_id is read (phash is computed, bytes never existed)
+        "NoJoin": r"^(?!.*Join)",
+        "NoCartesian": r"^(?!.*CartesianProduct)",
+        "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
+        "PartialAgg": r"HashAggregate",
+    },
+    "img_caption_quality_dedup": {
+        # normalize+gate are row-local; the only shuffle is the
+        # groupBy(caption_norm) whose payload is counts+min scalars
+        "SingleAggShuffle": r"HashAggregate",
+        "NoJoin": r"^(?!.*Join)",
+        "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
+    },
 }
 
 
