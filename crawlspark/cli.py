@@ -99,9 +99,9 @@ def cmd_status(args) -> int:
     spark = _spark(args)
     cat = Catalog(args.workdir)
     out: dict = {"workdir": args.workdir, "tables": {}}
-    for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
-              "checkpoints", "metrics", "errors", "frontier", "politeness",
-              "politeness_state"):
+    for t in ("posts", "images", "image_clusters", "files", "seen",
+              "crawl_order", "lineage", "checkpoints", "metrics", "errors",
+              "frontier", "politeness", "politeness_state"):
         df = cat.read(spark, t)
         out["tables"][t] = {
             "rows": df.count() if df is not None else 0,
@@ -133,9 +133,9 @@ def cmd_vacuum(args) -> int:
 
     cat = Catalog(args.workdir)
     out: dict = {}
-    for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
-              "checkpoints", "metrics", "robots", "errors", "frontier",
-              "politeness", "politeness_state"):
+    for t in ("posts", "images", "image_clusters", "files", "seen",
+              "crawl_order", "lineage", "checkpoints", "metrics", "robots",
+              "errors", "frontier", "politeness", "politeness_state"):
         if cat.exists(t):
             out[t] = cat.vacuum(t, keep_last=args.keep_last)
     print(json.dumps({"workdir": args.workdir, "keep_last": args.keep_last,
@@ -147,9 +147,9 @@ def cmd_reset(args) -> int:
     from crawlspark.catalog import Catalog
 
     cat = Catalog(args.workdir)
-    for t in ("posts", "images", "files", "seen", "crawl_order", "lineage",
-              "checkpoints", "metrics", "robots", "errors", "frontier",
-              "politeness", "politeness_state"):
+    for t in ("posts", "images", "image_clusters", "files", "seen",
+              "crawl_order", "lineage", "checkpoints", "metrics", "robots",
+              "errors", "frontier", "politeness", "politeness_state"):
         cat.drop(t)
     print(f"reset: cleared state under {args.workdir}")
     return 0
@@ -266,6 +266,21 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_dedup_images(args) -> int:
+    """Content-level image dedup over the workdir's images table (the
+    reference dedups by URL only — crawler.py:560-573; this pass catches
+    the same picture stored under different URLs via the phash emitted by
+    the S5 decode stage)."""
+    from crawlspark.imagededup import dedup_images
+
+    spark = _spark(args)
+    stats = dedup_images(spark, args.workdir, threshold=args.threshold,
+                         vacuum_keep_last=args.keep_last)
+    print(json.dumps({"workdir": args.workdir, **stats}))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="crawlspark")
     ap.add_argument("--master", default=None)
@@ -304,6 +319,17 @@ def main(argv: list[str] | None = None) -> int:
              "blob file per post (S9, crawler.py:503-516)",
     )
     e.set_defaults(fn=cmd_export)
+
+    d = sub.add_parser(
+        "dedup-images",
+        help="content-level image near-dup pass -> image_clusters table",
+    )
+    d.add_argument("--workdir", required=True)
+    d.add_argument("--threshold", type=int, default=8,
+                   help="max phash hamming distance for a near-dup pair")
+    d.add_argument("--keep-last", type=int, default=8, dest="keep_last",
+                   help="snapshot retention for the image_clusters commit")
+    d.set_defaults(fn=cmd_dedup_images)
 
     args = ap.parse_args(argv)
     return args.fn(args)
