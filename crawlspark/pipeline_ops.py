@@ -1072,6 +1072,30 @@ PHASH_NBANDS = 4  # 4 x 16 = the full 64-bit hash
 PHASH_HAM_T = 8  # near-dup iff hamming(phash_a, phash_b) <= 8
 
 
+def explode_phash_bands(
+    df: DataFrame, id_col: str = "image_id", phash_col: str = "phash"
+) -> DataFrame:
+    """(image_id, phash, band_id, band_val) — one row per 16-bit band of
+    the 64-bit phash. NULL phashes (failed decodes) are dropped. Shared by
+    the one-shot LSH (phash_neardup_pairs) and the incremental index join
+    (imagededup.dedup_images)."""
+    src = df.select(
+        F.col(id_col).alias("image_id"), F.col(phash_col).alias("phash")
+    ).filter(F.col("phash").isNotNull())
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.shiftright(F.col("phash"), b * PHASH_BAND_BITS).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(PHASH_NBANDS)
+        ]
+    )
+    return src.select(
+        "image_id", "phash", F.posexplode(bands).alias("band_id", "band_val")
+    )
+
+
 def phash_neardup_pairs(
     imgs: DataFrame,
     id_col: str = "image_id",
@@ -1092,21 +1116,7 @@ def phash_neardup_pairs(
     bit_count(xor) on the pair's two phashes carried through the array —
     zero joins anywhere, never O(n^2) across the corpus. Rows with NULL
     phash (failed decodes) are excluded up front."""
-    src = imgs.select(
-        F.col(id_col).alias("image_id"), F.col(phash_col).alias("phash")
-    ).filter(F.col("phash").isNotNull())
-    mask = (1 << PHASH_BAND_BITS) - 1
-    bands = F.array(
-        *[
-            F.shiftright(F.col("phash"), b * PHASH_BAND_BITS).bitwiseAND(
-                F.lit(mask)
-            )
-            for b in range(PHASH_NBANDS)
-        ]
-    )
-    expl = src.select(
-        "image_id", "phash", F.posexplode(bands).alias("band_id", "band_val")
-    )
+    expl = explode_phash_bands(imgs, id_col, phash_col)
     grouped = (
         expl.groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_set(F.struct("image_id", "phash"))).alias("m"))

@@ -76,8 +76,112 @@ def test_dedup_images_clusters_and_keepers(spark, tmp_path):
 
 def test_dedup_images_empty_workdir(spark, tmp_path):
     stats = dedup_images(spark, str(tmp_path / "nowhere"))
-    assert stats == {"images": 0, "clustered": 0, "clusters": 0,
-                     "duplicates": 0}
+    assert stats == {"images": 0, "new_images": 0, "clustered": 0,
+                     "clusters": 0, "duplicates": 0}
+
+
+def _clusters_as_sets(members_df) -> set[frozenset]:
+    """Cluster partition as a set of member-id sets (label-independent),
+    plus keeper identity baked in by tagging the keeper id."""
+    by_cluster: dict = {}
+    for r in members_df.collect():
+        by_cluster.setdefault(r.cluster, set()).add(
+            (r.image_id, bool(r.is_keeper))
+        )
+    return {frozenset(v) for v in by_cluster.values()}
+
+
+def test_incremental_matches_one_shot(spark, tmp_path):
+    """Two incremental runs (second one over newly planted images only)
+    must commit the SAME image_clusters a from-scratch pass over the full
+    images table computes — partition AND keepers."""
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)  # run 0 input: originals+copies
+    s1 = dedup_images(spark, wd)
+    assert s1["new_images"] == s1["images"]  # first run processes all
+
+    # plant a second generation: copies of the copies at yet-later pages
+    cat = Catalog(wd)
+    imgs = cat.read(spark, "images")
+    gen2 = (
+        imgs.filter(F.col("image_id").startswith("copy_"))
+        .select(
+            F.concat(F.lit("g2_"), "image_id").alias("image_id"),
+            "bytes", "w", "h", "fmt", "caption",
+            F.col("phash").bitwiseXOR(F.lit(3)).alias("phash"),
+            "ocr_text", "post_id", "url", "img_idx",
+            (F.col("page") + 1000).cast("int").alias("page"),
+            "pos_in_page",
+        )
+    )
+    n_g2 = gen2.count()
+    cat.append(spark, gen2, "images", meta={"planted": "g2"})
+
+    s2 = dedup_images(spark, wd)
+    assert s2["new_images"] == n_g2  # only the delta was processed
+    assert s2["images"] == s1["images"] + n_g2
+
+    incremental = cat.read(spark, "image_clusters")
+    one_shot = image_cluster_members(cat.read(spark, "images"))
+    assert _clusters_as_sets(incremental) == _clusters_as_sets(one_shot)
+
+
+def test_incremental_noop_run(spark, tmp_path):
+    """A run with no new images processes nothing and leaves the
+    committed clusters identical."""
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    s1 = dedup_images(spark, wd)
+    before = _clusters_as_sets(Catalog(wd).read(spark, "image_clusters"))
+    s2 = dedup_images(spark, wd)
+    assert s2["new_images"] == 0
+    assert s2["clustered"] == s1["clustered"]
+    assert _clusters_as_sets(Catalog(wd).read(spark, "image_clusters")) == before
+
+
+def test_threshold_change_rebuilds(spark, tmp_path):
+    """Accumulated pairs are only valid at the threshold that confirmed
+    them — a different threshold must rebuild from scratch and report it."""
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    s1 = dedup_images(spark, wd, threshold=8)
+    assert not s1["rebuilt"]
+    s2 = dedup_images(spark, wd, threshold=0)
+    assert s2["rebuilt"]
+    assert s2["new_images"] == s2["images"]  # reprocessed everything
+    cat = Catalog(wd)
+    members = cat.read(spark, "image_clusters")
+    # hamming-2 planted copies no longer pair at threshold 0
+    assert members.filter(F.col("image_id").startswith("copy_")).count() == 0
+    one_shot = image_cluster_members(cat.read(spark, "images"), threshold=0)
+    assert _clusters_as_sets(members) == _clusters_as_sets(one_shot)
+
+
+def test_incremental_scan_reads_only_delta_dirs(spark, tmp_path):
+    """The second run's candidate scan must touch only the images delta
+    dirs committed after the first run's processed snapshot."""
+    from crawlspark.imagededup import _new_images_frame
+
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    dedup_images(spark, wd)
+    cat = Catalog(wd)
+    pre_dirs = set(cat.manifest("images")["data_dirs"])
+    prev_src = cat.log("image_index")[-1]["source_version"]
+    imgs = cat.read(spark, "images")
+    extra = imgs.limit(2).select(
+        F.concat(F.lit("x_"), "image_id").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption", "phash", "ocr_text",
+        "post_id", "url", "img_idx", "page", "pos_in_page",
+    )
+    cat.append(spark, extra, "images", meta={"planted": "x"})
+    cand = _new_images_frame(spark, cat, prev_src)
+    touched = set(cand.inputFiles())
+    old_abs = {cat._tdir("images") + "/" + d for d in pre_dirs}
+    assert touched, "delta scan must read the new dir"
+    for f in touched:
+        assert not any(f.startswith(o + "/") or f.startswith(o)
+                       for o in old_abs), f"scanned pre-existing dir: {f}"
 
 
 def test_threshold_zero_keeps_only_exact(spark, tmp_path):
