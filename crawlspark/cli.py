@@ -84,11 +84,15 @@ def cmd_crawl(args) -> int:
         download_selector=cfg.download_selector,
         posts_per_checkpoint=cfg.posts_per_checkpoint,
         vacuum_keep_last=cfg.vacuum_keep_last,
+        image_dedup_every_waves=cfg.image_dedup_every_waves,
     )
-    print(json.dumps({"stats": result.stats,
-                      "virtual_seconds": result.virtual_seconds,
-                      "scope_virtual_seconds": result.scope_virtual_seconds,
-                      "waves": result.waves}, ensure_ascii=False))
+    out = {"stats": result.stats,
+           "virtual_seconds": result.virtual_seconds,
+           "scope_virtual_seconds": result.scope_virtual_seconds,
+           "waves": result.waves}
+    if result.image_dedup is not None:
+        out["image_dedup"] = result.image_dedup
+    print(json.dumps(out, ensure_ascii=False))
     spark.stop()
     return 0
 

@@ -65,6 +65,13 @@ class EngineConfig:
     # dirs as the crawl commits. 0 = keep full history (every version
     # time-travelable)
     vacuum_keep_last: int = 8
+    # run the INCREMENTAL image near-dup pass (imagededup.dedup_images)
+    # every K completed waves, plus a final catch-up run after the loop.
+    # Each run costs O(images added since the last run) — the pass keeps
+    # its own processed-version state, so the cadence only controls
+    # freshness, never correctness. 0 = never (offline `cli dedup-images`
+    # remains available)
+    image_dedup_every_waves: int = 0
 
     # ------------------------------------------------------------- loading
 
@@ -116,6 +123,8 @@ class EngineConfig:
             raise ValueError("posts_per_checkpoint must be >= 0")
         if self.vacuum_keep_last < 0:
             raise ValueError("vacuum_keep_last must be >= 0")
+        if self.image_dedup_every_waves < 0:
+            raise ValueError("image_dedup_every_waves must be >= 0")
 
 
 def _coerce(raw: str, default, key: str, src: str):

@@ -86,6 +86,9 @@ class CrawlResult:
     # one scope exists (the reference's single-session world); strictly
     # smaller when hosts are fetched in parallel.
     scope_virtual_seconds: float = 0.0
+    # stats of the last in-lifecycle incremental image near-dup run
+    # (image_dedup_every_waves > 0); None when the pass never ran
+    image_dedup: dict | None = None
 
 
 def _listing_frontier(spark: SparkSession, base_url: str, pages: list[int]) -> DataFrame:
@@ -142,6 +145,7 @@ def crawl(
     posts_per_checkpoint: int = 0,
     vacuum_keep_last: int = 8,
     resolver: Resolver | None = None,
+    image_dedup_every_waves: int = 0,
 ) -> CrawlResult:
     """Crawl the synthetic site in `page_store`, committing state under
     `workdir`. pages_per_wave=0 → everything in one wave.
@@ -162,7 +166,15 @@ def crawl(
     PageStoreResolver over `page_store` (the synthetic/test backend);
     inject a CallbackResolver (or a real HTTP/browser resolver with the
     same Protocol) to fetch live — politeness, retry, and commit semantics
-    are resolver-independent."""
+    are resolver-independent.
+
+    image_dedup_every_waves: >0 runs the INCREMENTAL phash near-dup pass
+    (imagededup.dedup_images) after every K committed waves plus a final
+    catch-up run. The pass tracks its own processed images-snapshot
+    version, so each run costs O(new images); it runs AFTER the wave's
+    checkpoint commit and is replay-safe on its own (duplicate edges from
+    a crash mid-pass don't change connected components, and a replayed
+    run with nothing new is a no-op)."""
     cat = Catalog(workdir, vacuum_keep_last=vacuum_keep_last)
     run_id = run_id or uuid.uuid4().hex[:12]
     # sharded by host_bucket: only shards for buckets present in a wave are
@@ -226,6 +238,14 @@ def crawl(
         for k in totals:
             totals[k] += stats[k]
         virtual += vsec
+        if image_dedup_every_waves > 0 and wave % image_dedup_every_waves == 0:
+            _run_image_dedup(spark, workdir, vacuum_keep_last)
+
+    dedup_stats = None
+    if image_dedup_every_waves > 0:
+        # final catch-up: a no-op when the cadence already covered the last
+        # wave (the pass reads its own processed-version state)
+        dedup_stats = _run_image_dedup(spark, workdir, vacuum_keep_last)
 
     # totals from the metrics table are authoritative (resume-safe)
     m = cat.read(spark, "metrics")
@@ -243,8 +263,21 @@ def crawl(
         scope_virtual = float(row["m"] or 0.0)
     return CrawlResult(
         stats=totals, virtual_seconds=virtual, waves=len(bands),
-        scope_virtual_seconds=scope_virtual,
+        scope_virtual_seconds=scope_virtual, image_dedup=dedup_stats,
     )
+
+
+def _run_image_dedup(
+    spark: SparkSession, workdir: str, vacuum_keep_last: int
+) -> dict:
+    """Lifecycle entry to the incremental image near-dup pass. Imported
+    lazily so the crawl path pays for imagededup only when the knob is on.
+    vacuum clamped >= 2 like the commit-path vacuum (cached frames from the
+    current wave may still reference just-superseded snapshot dirs)."""
+    from crawlspark.imagededup import dedup_images
+
+    keep = max(2, vacuum_keep_last) if vacuum_keep_last else 0
+    return dedup_images(spark, workdir, vacuum_keep_last=keep)
 
 
 def _run_wave(

@@ -184,6 +184,34 @@ def test_incremental_scan_reads_only_delta_dirs(spark, tmp_path):
                        for o in old_abs), f"scanned pre-existing dir: {f}"
 
 
+def test_lifecycle_dedup_every_wave(spark, tmp_path):
+    """crawl(image_dedup_every_waves=1) runs the incremental pass after
+    every committed wave; the final committed clusters equal a
+    from-scratch pass over the full images table, and the index log shows
+    one incremental append per wave (not one full rebuild per wave)."""
+    wd = str(tmp_path / "wd")
+    spec = SiteSpec(pages=3, posts_per_page=6, seed=7)
+    site = build_site(spec)
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+    result = crawl(spark, store, spec.base_url, wd, pages=spec.pages,
+                   pages_per_wave=1, run_id="lifecycle",
+                   image_dedup_every_waves=1)
+    assert result.image_dedup is not None
+    assert result.image_dedup["new_images"] == 0  # final catch-up: no-op
+
+    cat = Catalog(wd)
+    imgs = cat.read(spark, "images")
+    assert result.image_dedup["images"] == imgs.count()
+    committed = cat.read(spark, "image_clusters")
+    one_shot = image_cluster_members(imgs)
+    assert _clusters_as_sets(committed) == _clusters_as_sets(one_shot)
+    # one index append per wave that produced images — incremental cadence
+    index_log = cat.log("image_index")
+    assert len(index_log) == result.waves
+    versions = [e["source_version"] for e in index_log]
+    assert versions == sorted(versions) and len(set(versions)) == len(versions)
+
+
 def test_threshold_zero_keeps_only_exact(spark, tmp_path):
     """threshold=0 must not pair the hamming-2 planted copies."""
     wd = str(tmp_path / "wd")
@@ -199,7 +227,11 @@ def test_cli_dedup_images_and_status(spark, tmp_path, capsys, monkeypatch):
     # the CLI builds its own session; point it at the test master and make
     # its get_spark reuse the active one instead of stopping it
     monkeypatch.setattr(cli, "_spark", lambda args: spark)
-    monkeypatch.setattr(spark, "stop", lambda: None)
+    # patch stop on the CLASS, not the instance: undoing an instance-level
+    # patch of a class attribute leaves the bound method behind as an
+    # instance attribute, which would shadow (and defeat) any later test's
+    # type(spark).stop patch and kill the shared session
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
     wd = str(tmp_path / "wd")
     _crawl_with_planted_copies(spark, wd)
     rc = cli.main(["dedup-images", "--workdir", wd])
