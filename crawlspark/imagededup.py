@@ -118,6 +118,35 @@ def _new_images_frame(
     )
 
 
+def incremental_band_pairs(
+    new: DataFrame, all_side: DataFrame, threshold: int = PHASH_HAM_T
+) -> DataFrame:
+    """Near-dup pairs (img_a, img_b, hamming) that involve at least one
+    image from `new`: band join of NEW bands x (index + new) bands. Old-
+    vs-old pairs are already in the accumulated edge set and never
+    recompute. Scale shape: an equi shuffle join on (band_id, band_val) —
+    4 scalar rows per image on each side, never a cartesian; AQE splits a
+    viral band key. In a real Iceberg deployment the index side would be
+    written bucketed by the band key so only the new side shuffles."""
+    nb = explode_phash_bands(new.select("image_id", "phash"))
+    ab = explode_phash_bands(all_side.select("image_id", "phash"))
+    joined = nb.alias("n").join(
+        ab.alias("o"),
+        ["band_id", "band_val"],
+    ).filter(F.col("n.image_id") != F.col("o.image_id"))
+    return (
+        joined.select(
+            F.least("n.image_id", "o.image_id").alias("img_a"),
+            F.greatest("n.image_id", "o.image_id").alias("img_b"),
+            F.bit_count(
+                F.col("n.phash").bitwiseXOR(F.col("o.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= threshold)
+        .distinct()  # band multiplicity + both-new double count
+    )
+
+
 def dedup_images(
     spark: SparkSession,
     workdir: str,
@@ -160,28 +189,10 @@ def dedup_images(
     try:
         n_new = new.count()
         if n_new > 0:
-            # band join: NEW bands x (index + new) bands. Old-old pairs
-            # already live in image_pairs; this finds new-old and new-new.
             all_side = (
                 index.unionByName(new) if index is not None else new
             )
-            nb = explode_phash_bands(new.select("image_id", "phash"))
-            ab = explode_phash_bands(all_side.select("image_id", "phash"))
-            joined = nb.alias("n").join(
-                ab.alias("o"),
-                ["band_id", "band_val"],
-            ).filter(F.col("n.image_id") != F.col("o.image_id"))
-            pairs_new = (
-                joined.select(
-                    F.least("n.image_id", "o.image_id").alias("img_a"),
-                    F.greatest("n.image_id", "o.image_id").alias("img_b"),
-                    F.bit_count(
-                        F.col("n.phash").bitwiseXOR(F.col("o.phash"))
-                    ).alias("hamming"),
-                )
-                .filter(F.col("hamming") <= threshold)
-                .distinct()  # band multiplicity + both-new double count
-            )
+            pairs_new = incremental_band_pairs(new, all_side, threshold)
             cat.append(
                 spark, pairs_new.orderBy("img_a", "img_b"), "image_pairs",
                 meta={"source_version": imgs_version},

@@ -127,6 +127,42 @@ CHECKS = {
         "NoJoin": r"^(?!.*Join)",
         "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
     },
+    "img_incremental_band_pairs": {
+        # incremental dedup's new-vs-index pass: an EQUI shuffle join on
+        # (band_id, band_val) — 4 scalar rows per image per side. A
+        # cartesian or broadcast-nested-loop here would be the 100 TB
+        # killer; bytes never appear (ReadSchema is doc_id only, phash is
+        # computed in the fixture exactly like the images table carries it
+        # precomputed)
+        "EquiJoin": r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        "NoCartesian": r"^(?!.*CartesianProduct)",
+        "NoNestedLoop": r"^(?!.*BroadcastNestedLoopJoin)",
+        "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
+    },
+}
+
+
+def _build_img_incremental_band_pairs(spark, sf_dir: str):
+    """The incremental image-dedup band join over an images-shaped frame
+    derived from `documents` (same synthesis as the img_* contract
+    queries): 10% of images are 'new', the rest are the accumulated
+    index. Not a contract query (it consumes engine state tables), so the
+    audit builds the frame directly from the factored pure function."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.imagededup import incremental_band_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.xxhash64(F.col("doc_id").cast("string")).alias("phash"),
+    )
+    new = imgs.filter(F.pmod(F.col("image_id"), F.lit(10)) == 0)
+    return incremental_band_pairs(new, imgs)
+
+
+EXTRA_BUILDERS = {
+    "img_incremental_band_pairs": _build_img_incremental_band_pairs,
 }
 
 
@@ -141,7 +177,8 @@ def main() -> None:
     lines = ["# PLANS — plan-quality audit (`.explain('formatted')`)", ""]
     ok_all = True
     for name, checks in CHECKS.items():
-        df = Q[name](spark, sf_dir)
+        build = EXTRA_BUILDERS.get(name) or Q[name]
+        df = build(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
