@@ -142,4 +142,56 @@ def run_fetch_parse_bench(spark: SparkSession, n_posts: int) -> dict:
         "downloads": int(out["downloads"]),
         "seconds": round(dt, 2),
         "posts_per_sec": round(n_posts / dt, 1),
+        "rate": round(n_posts / dt, 1),
+    }
+
+
+def synth_images(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """n images-table-shaped rows (image_id, phash, page, pos_in_page,
+    img_idx) built closed-form with JVM functions — the scalar projection
+    the near-dup pass reads (bytes never enter the plan). Every 10th image
+    is a planted near-dup of its predecessor (phash XOR 3 = hamming 2), so
+    the LSH/CC/keeper stages all do real work at a realistic dup rate."""
+    df = spark.range(
+        0, n, 1, partitions or spark.sparkContext.defaultParallelism * 4
+    )
+    iid = F.col("id")
+    is_dup = (F.pmod(iid, F.lit(10)) == 0) & (iid > 0)
+    src = F.when(is_dup, iid - 1).otherwise(iid)
+    phash = F.xxhash64(src.cast("string")).bitwiseXOR(
+        F.when(is_dup, F.lit(3)).otherwise(F.lit(0))
+    )
+    return df.select(
+        F.concat(F.lit("img"), iid.cast("string")).alias("image_id"),
+        phash.alias("phash"),
+        (iid / 100).cast("int").alias("page"),
+        F.pmod(iid, F.lit(100)).cast("int").alias("pos_in_page"),
+        F.lit(0).alias("img_idx"),
+    )
+
+
+def run_image_dedup_bench(spark: SparkSession, n_images: int) -> dict:
+    """Images near-dup pass throughput: band-LSH pair generation ->
+    connected components -> crawl-order keeper election, over a synthetic
+    images projection with a 10% planted dup rate. Measured quantity:
+    images/sec through the full cluster+keeper computation."""
+    from crawlspark.imagededup import image_cluster_members
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    members = image_cluster_members(synth_images(spark, n_images))
+    agg = members.agg(
+        F.count("*").alias("clustered"),
+        F.countDistinct("cluster").alias("clusters"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return {
+        "n_images": n_images,
+        "clustered": int(agg["clustered"]),
+        "clusters": int(agg["clusters"]),
+        "seconds": round(dt, 2),
+        "images_per_sec": round(n_images / dt, 1),
+        "rate": round(n_images / dt, 1),
     }

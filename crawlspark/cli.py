@@ -256,14 +256,60 @@ def export_text_blobs(spark, workdir: str, out_dir: str) -> int | None:
     return n
 
 
+def export_images(
+    spark, workdir: str, out_dir: str, dedup: bool = False
+) -> int | None:
+    """S10 consumer: one `<out_dir>/<post_id>/image_<img_idx>.<fmt>` file
+    per crawled image — the reference's on-disk image layout
+    (crawler.py:573-596 naming). dedup=True additionally drops every
+    non-keeper member of a phash near-dup cluster (the `image_clusters`
+    table maintained by the incremental dedup pass) — content-level dedup
+    the reference's URL-only seen set cannot express. Files are written
+    EXECUTOR-side via foreachPartition; the driver only gets the count."""
+    from crawlspark.catalog import Catalog
+
+    cat = Catalog(workdir)
+    df = cat.read(spark, "images")
+    if df is None:
+        return None
+    if dedup:
+        members = cat.read(spark, "image_clusters")
+        if members is None:
+            raise SystemExit(
+                "export --dedup: no image_clusters table — run "
+                "dedup-images (or crawl with image_dedup_every_waves) first"
+            )
+        dupes = members.filter(~F.col("is_keeper")).select("image_id")
+        df = df.join(dupes, "image_id", "left_anti")
+    sel = df.select("post_id", "img_idx", "fmt", "bytes").filter(
+        F.col("bytes").isNotNull()
+    )
+    n = sel.count()
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows):
+        for r in rows:
+            d = os.path.join(out_dir, r["post_id"])
+            os.makedirs(d, exist_ok=True)
+            name = f"image_{r['img_idx']}.{r['fmt']}"
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(bytes(r["bytes"]))
+
+    sel.foreachPartition(_write)
+    return n
+
+
 def cmd_export(args) -> int:
     spark = _spark(args)
     if args.shape == "text":
         n = export_text_blobs(spark, args.workdir, args.out)
+    elif args.shape == "images":
+        n = export_images(spark, args.workdir, args.out, dedup=args.dedup)
     else:
         n = export_posts(spark, args.workdir, args.out)
     if n is None:
-        print("no posts table", file=sys.stderr)
+        print("no posts table" if args.shape != "images" else
+              "no images table", file=sys.stderr)
         return 1
     print(f"exported {n} records to {args.out}")
     spark.stop()
@@ -318,9 +364,15 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--workdir", required=True)
     e.add_argument("--out", required=True)
     e.add_argument(
-        "--shape", choices=("jsonl", "text"), default="jsonl",
+        "--shape", choices=("jsonl", "text", "images"), default="jsonl",
         help="jsonl: storage.py record lines; text: one 'Title: ...' "
-             "blob file per post (S9, crawler.py:503-516)",
+             "blob file per post (S9, crawler.py:503-516); images: "
+             "<post_id>/image_<idx>.<fmt> files (S10, crawler.py:573-596)",
+    )
+    e.add_argument(
+        "--dedup", action="store_true",
+        help="images shape only: drop non-keeper near-dup cluster members "
+             "(requires the image_clusters table from dedup-images)",
     )
     e.set_defaults(fn=cmd_export)
 

@@ -286,15 +286,20 @@ def cluster_from_pairs(
       (tests/test_cluster_deep_chain.py). The label frame is (doc_id,
       cluster) — tiny — so the checkpoint materialization is O(nodes),
       dwarfed by the round's own shuffle."""
-    edges = pairs.select(
+    # materialize the symmetric edge set ONCE: nodes, self-loops, and the
+    # initial labels all derive from it, and `pairs` can carry an arbitrary
+    # upstream lineage (e.g. the full LSH pair generation) — without this
+    # persist that lineage re-evaluates up to 4x before round 1 (both union
+    # branches + the nodes distinct + the labels init)
+    base = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
-    nodes = edges.select("a").distinct()
+    ).persist()
+    nodes = base.select("a").distinct()
     # self-loops: min over neighbors-plus-self == least(own, neighbor min),
     # and isolated replay of a node's own label needs no outer join
-    edges = edges.unionByName(
+    edges = base.unionByName(
         nodes.select("a", F.col("a").alias("b"))
     ).persist()
     labels = nodes.select(
@@ -330,6 +335,7 @@ def cluster_from_pairs(
             labels.unpersist()
             labels = cp
     edges.unpersist()
+    base.unpersist()
     if not converged:
         # a component with diameter > max_rounds would return non-minimal
         # labels; fail loudly rather than silently diverging from the oracle

@@ -42,24 +42,33 @@ CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from crawlspark.session import get_spark
-from bench.workload import run_fetch_parse_bench, synth_posts, fetch_parse_pipeline
 import pyspark.sql.functions as F
 
 spark = get_spark("scaling-bench", master="local[{cores}]",
                   shuffle_partitions={parts})
 spark.sparkContext.setLogLevel("ERROR")
-# warmup: JVM + python workers + codegen, small slice of the same pipeline
-fetch_parse_pipeline(synth_posts(spark, 2000)).agg(F.sum("posts")).collect()
+if {job!r} == "image_dedup":
+    from bench.workload import run_image_dedup_bench as runner
+    runner(spark, 20000)  # warmup: JVM + codegen + CC loop
+else:
+    from bench.workload import run_fetch_parse_bench as runner
+    from bench.workload import synth_posts, fetch_parse_pipeline
+    # warmup: JVM + python workers + codegen, small slice of the pipeline
+    fetch_parse_pipeline(synth_posts(spark, 2000)).agg(F.sum("posts")).collect()
 for _ in range({loops}):
-    res = run_fetch_parse_bench(spark, {n})
+    res = runner(spark, {n})
     print("RESULT:" + json.dumps(res), flush=True)
 spark.stop()
 """
 
 
-def _launch(cores: int, first_core: int, n: int, loops: int) -> subprocess.Popen:
+def _launch(
+    cores: int, first_core: int, n: int, loops: int, job: str
+) -> subprocess.Popen:
     cpu_list = ",".join(str(c) for c in range(first_core, first_core + cores))
-    code = CHILD.format(repo=REPO, cores=cores, parts=2 * cores, n=n, loops=loops)
+    code = CHILD.format(
+        repo=REPO, cores=cores, parts=2 * cores, n=n, loops=loops, job=job
+    )
     return subprocess.Popen(
         ["taskset", "-c", cpu_list, sys.executable, "-c", code],
         stdout=subprocess.PIPE,
@@ -77,18 +86,20 @@ def _results(p: subprocess.Popen, label: str) -> list[dict]:
     return res
 
 
-def run_pair(c1: int, c4: int, n: int) -> tuple[dict, dict, float]:
+def run_pair(
+    c1: int, c4: int, n: int, job: str = "fetch_parse"
+) -> tuple[dict, dict, float]:
     """One repetition: both legs simultaneously on disjoint pinned sets.
     BOTH legs loop the identical job and take their best in-window run
     (symmetric retry against ambient noise); the wide leg loops c4/c1 x
     more so the machine stays loaded for the narrow leg's whole window."""
     loops1 = 2
     loops4 = loops1 * max(2, round(c4 / c1))
-    p1 = _launch(c1, 0, n, loops=loops1)
-    p4 = _launch(c4, c1, n, loops=loops4)
+    p1 = _launch(c1, 0, n, loops=loops1, job=job)
+    p4 = _launch(c4, c1, n, loops=loops4, job=job)
     r1 = min(_results(p1, f"local[{c1}]"), key=lambda r: r["seconds"])
     r4 = min(_results(p4, f"local[{c4}]"), key=lambda r: r["seconds"])
-    eff = (r4["posts_per_sec"] / r1["posts_per_sec"]) / (c4 / c1)
+    eff = (r4["rate"] / r1["rate"]) / (c4 / c1)
     return r1, r4, eff
 
 
@@ -97,23 +108,49 @@ def main() -> None:
     c1 = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     c4 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    job = sys.argv[5] if len(sys.argv) > 5 else "fetch_parse"
     pairs = []
     for i in range(reps):
-        r1, r4, eff = run_pair(c1, c4, n)
+        r1, r4, eff = run_pair(c1, c4, n, job=job)
         pairs.append((r1, r4, eff))
-        print(f"rep {i + 1}: local[{c1}] {r1['posts_per_sec']:.0f}/s  "
-              f"local[{c4}] {r4['posts_per_sec']:.0f}/s  eff {eff:.3f}")
+        print(f"rep {i + 1}: local[{c1}] {r1['rate']:.0f}/s  "
+              f"local[{c4}] {r4['rate']:.0f}/s  eff {eff:.3f}")
     effs = sorted(e for _r1, _r4, e in pairs)
     med = statistics.median(effs)
     best_i = max(range(len(pairs)), key=lambda i: pairs[i][2])
     r1, r4, _ = pairs[best_i]
 
     rep_rows = "\n".join(
-        f"| {i + 1} | {p[0]['posts_per_sec']:.0f} | {p[1]['posts_per_sec']:.0f} "
+        f"| {i + 1} | {p[0]['rate']:.0f} | {p[1]['rate']:.0f} "
         f"| {p[2]:.3f} |"
         for i, p in enumerate(pairs)
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    if job == "image_dedup":
+        # APPEND a job-specific section: the fetch_parse run owns the file
+        md = f"""
+## Image near-dup pass scaling ({date.today().isoformat()})
+
+Same methodology (pinned, simultaneous disjoint-core pairs, best
+in-window run per leg, per-rep efficiency, median over {reps} reps), job =
+bench/workload.py run_image_dedup_bench: {n:,} synthetic images-projection
+rows (10% planted hamming-2 dups) -> phash band-LSH pair generation ->
+connected components -> crawl-order keeper election.
+
+| rep | local[{c1}] images/s (N) | local[{c4}] images/s (4N) | efficiency |
+|---|---|---|---|
+{rep_rows}
+
+**Image-dedup scaling efficiency (N -> 4N), median of {reps} reps =
+{med:.3f}**{" (>= 0.8 — MET)" if med >= 0.8 else ""}. Best pair: local[{c1}]
+{r1["rate"]:.0f} images/s ({r1["seconds"]}s), local[{c4}] {r4["rate"]:.0f}
+images/s ({r4["seconds"]}s); clustered {r4["clustered"]:,} into
+{r4["clusters"]:,} clusters.
+"""
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(md)
+        print(f"\nmedian efficiency: {med:.3f}  -> appended to BENCH/BASELINE.md")
+        return
     md = f"""# BENCH/BASELINE — scaling evidence ({date.today().isoformat()})
 
 Same fetch+parse workload (bench/workload.py: hash-expanded synthetic

@@ -22,7 +22,9 @@ from crawlspark.imagededup import dedup_images, image_cluster_members
 from crawlspark.schema import PAGE_STORE
 
 
-def _crawl_with_planted_copies(spark, workdir: str) -> int:
+def _crawl_with_planted_copies(
+    spark, workdir: str, distinct_posts: bool = False
+) -> int:
     spec = SiteSpec(pages=2, posts_per_page=6, seed=11)
     site = build_site(spec)
     store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
@@ -32,11 +34,16 @@ def _crawl_with_planted_copies(spark, workdir: str) -> int:
     imgs = cat.read(spark, "images")
     n = imgs.count()
     assert n > 0
+    post_id = (
+        F.concat(F.lit("c_"), "post_id").alias("post_id")
+        if distinct_posts  # distinct file paths for the export tests
+        else F.col("post_id")
+    )
     copies = imgs.select(
         F.concat(F.lit("copy_"), "image_id").alias("image_id"),
         "bytes", "w", "h", "fmt", "caption",
         F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
-        "ocr_text", "post_id", "url", "img_idx",
+        "ocr_text", post_id, "url", "img_idx",
         (F.col("page") + 1000).cast("int").alias("page"),
         "pos_in_page",
     )
@@ -210,6 +217,46 @@ def test_lifecycle_dedup_every_wave(spark, tmp_path):
     assert len(index_log) == result.waves
     versions = [e["source_version"] for e in index_log]
     assert versions == sorted(versions) and len(set(versions)) == len(versions)
+
+
+def test_export_images_dedup(spark, tmp_path):
+    """export --shape images writes the reference's on-disk layout
+    (<post_id>/image_<idx>.<fmt>); --dedup drops exactly the non-keeper
+    cluster members and keeps byte content intact."""
+    import os
+
+    import pytest
+
+    from crawlspark.cli import export_images
+
+    wd = str(tmp_path / "wd")
+    out_all, out_dd = str(tmp_path / "all"), str(tmp_path / "dd")
+
+    n = _crawl_with_planted_copies(spark, wd, distinct_posts=True)
+
+    # dedup export without the clusters table must fail loudly
+    with pytest.raises(SystemExit, match="image_clusters"):
+        export_images(spark, wd, out_dd, dedup=True)
+
+    stats = dedup_images(spark, wd)
+    n_all = export_images(spark, wd, out_all)
+    n_dd = export_images(spark, wd, out_dd, dedup=True)
+    assert n_all == 2 * n
+    assert n_dd == n_all - stats["duplicates"]
+
+    cat = Catalog(wd)
+    keeper = {
+        r.image_id: bool(r.is_keeper)
+        for r in cat.read(spark, "image_clusters").collect()
+    }
+    for r in cat.read(spark, "images").collect():
+        rel = os.path.join(r.post_id, f"image_{r.img_idx}.{r.fmt}")
+        assert os.path.exists(os.path.join(out_all, rel))
+        expect_kept = keeper.get(r.image_id, True)  # unclustered: kept
+        assert os.path.exists(os.path.join(out_dd, rel)) == expect_kept
+        if expect_kept:
+            with open(os.path.join(out_dd, rel), "rb") as f:
+                assert f.read() == bytes(r.bytes)
 
 
 def test_threshold_zero_keeps_only_exact(spark, tmp_path):
