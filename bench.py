@@ -55,6 +55,7 @@ HEADLINE = [
 ]
 
 CRAWL_BENCH_POSTS = int(os.environ.get("CRAWLSPARK_BENCH_POSTS", "500000"))
+IMAGE_BENCH_IMAGES = int(os.environ.get("CRAWLSPARK_BENCH_IMAGES", "1000000"))
 N_RUNS = int(os.environ.get("CRAWLSPARK_BENCH_RUNS", "3"))
 
 
@@ -139,15 +140,33 @@ def main() -> None:
     total += crawl["seconds"]
     print(f"# crawl fetch+parse: {crawl}", file=sys.stderr)
 
+    from bench.workload import run_image_dedup_bench
+
+    # round-5 image axis: the engine's content-level near-dup pass
+    # (band-LSH pair gen -> connected components -> keeper election).
+    # Warm once at small n so the timed runs measure the pass, not the
+    # CC loop's first-job codegen.
+    run_image_dedup_bench(spark, 20000)
+    img_runs = [
+        run_image_dedup_bench(spark, IMAGE_BENCH_IMAGES) for _ in range(N_RUNS)
+    ]
+    img = min(img_runs, key=lambda c: c["seconds"])
+    total += img["seconds"]
+    print(f"# image dedup pass: {img}", file=sys.stderr)
+
     detail = {
         "query_runs": query_runs,
         "crawl_runs": crawl_runs,
+        "image_dedup_runs": img_runs,
         "variance": {
             "per_query_rel_spread": {
                 name: _rel_spread(runs) for name, runs in query_runs.items()
             },
             "crawl_rel_spread": _rel_spread(
                 [c["seconds"] for c in crawl_runs]
+            ),
+            "image_dedup_rel_spread": _rel_spread(
+                [c["seconds"] for c in img_runs]
             ),
         },
     }
@@ -163,7 +182,7 @@ def main() -> None:
         detail_path = None
 
     out = {
-        "metric": "headline suite sec + crawl fetch+parse throughput",
+        "metric": "headline suite sec + crawl + image-dedup throughput",
         "value": round(total, 2),
         "unit": "sec",
         "queries": queries,
@@ -173,16 +192,22 @@ def main() -> None:
             "seconds": crawl.get("seconds"),
             "posts_per_sec": crawl.get("posts_per_sec"),
         },
+        "image_dedup": {
+            "n_images": img.get("n_images"),
+            "seconds": img.get("seconds"),
+            "images_per_sec": img.get("images_per_sec"),
+        },
         "n_runs": N_RUNS,
         "cpus": cpus,
         "pinned": _is_pinned(cpus),
-        "crawl_rel_spread": detail["variance"]["crawl_rel_spread"],
         "detail": detail_path,
     }
     spark.stop()
     # the contract line prints LAST, after all stderr chatter and the
-    # session teardown, so a tail capture always contains it whole
-    print(json.dumps(out))
+    # session teardown, so a tail capture always contains it whole; compact
+    # separators + no spread fields keep it under the tail budget (all
+    # per-run lists and variance live in BENCH/runs_latest.json)
+    print(json.dumps(out, separators=(",", ":")))
     sys.stdout.flush()
 
 
