@@ -287,9 +287,13 @@ class Catalog:
         )
         # same lifecycle retention as append: a per-wave full-replace table
         # (e.g. politeness_state) must not accumulate one snapshot per
-        # commit forever
+        # commit forever. Clamped to >= 2 like append's call — compact()
+        # rides THIS path, so an unclamped keep_last=1 here would delete
+        # the pre-compaction delta dirs right after an auto-compacting
+        # append while same-wave cached frames still reference them,
+        # defeating append's own clamp
         if self.vacuum_keep_last:
-            self.vacuum(table, self.vacuum_keep_last)
+            self.vacuum(table, max(2, self.vacuum_keep_last))
         return os.path.join(tdir, rel)
 
     def append(

@@ -147,6 +147,23 @@ def incremental_band_pairs(
     )
 
 
+def _state_entry(cat: Catalog, table: str) -> dict | None:
+    """Latest VISIBLE dedup-state commit-log entry for `table`. log[-1] is
+    NOT that entry in two real histories: (a) auto-compaction commits carry
+    only {"compaction": true} — treating one as state would misread a
+    missing threshold as a threshold change and silently rebuild from
+    scratch every ~compact_threshold runs; (b) a crash between the log
+    write and the _current pointer swap leaves an ORPHAN entry whose
+    source_version claims images processed that the readable index lacks —
+    trusting it would skip those images forever (same version<=current
+    guard as Catalog.append's wave-replay check)."""
+    cur_ver = cat.version(table)
+    for e in reversed(cat.log(table)):
+        if "threshold" in e and e.get("version", 0) <= cur_ver:
+            return e
+    return None
+
+
 def dedup_images(
     spark: SparkSession,
     workdir: str,
@@ -165,8 +182,7 @@ def dedup_images(
         return {"images": 0, "new_images": 0, "clustered": 0, "clusters": 0,
                 "duplicates": 0}
 
-    log = cat.log("image_index")
-    last = log[-1] if log else None
+    last = _state_entry(cat, "image_index")
     rebuilt = False
     if last is not None and last.get("threshold") != threshold:
         # accumulated pairs were confirmed at a different threshold —
@@ -202,8 +218,13 @@ def dedup_images(
                 meta={"threshold": threshold,
                       "source_version": imgs_version},
             )
-        elif last is None:
-            # nothing to index but record the processed version + threshold
+        elif last is None or prev_src != imgs_version:
+            # nothing to index, but record the processed source version +
+            # threshold (empty delta). Without this marker on no-op runs,
+            # an images-table compaction (which rewrites the whole corpus
+            # into a fresh dir) would make EVERY subsequent run re-scan
+            # that full-corpus dir and anti-join the entire index —
+            # O(corpus) per cadence tick instead of O(new images)
             cat.append(
                 spark, new, "image_index",
                 meta={"threshold": threshold,
@@ -211,6 +232,36 @@ def dedup_images(
             )
     finally:
         new.unpersist()
+
+    pairs_version = cat.version("image_pairs")
+    cl_state = _state_entry(cat, "image_clusters")
+    if (
+        n_new == 0
+        and not rebuilt
+        and cl_state is not None
+        and cl_state.get("threshold") == threshold
+        and cl_state.get("pairs_version") == pairs_version
+    ):
+        # nothing new and the committed clusters were derived from exactly
+        # this edge set at this threshold — skip the CC recompute + commit
+        # entirely (the driver's final catch-up after an every-wave cadence
+        # hits this path, as does every imageless cadence tick)
+        index = cat.read(spark, "image_index")
+        committed = cat.read(spark, "image_clusters")
+        agg = committed.agg(
+            F.count("*").alias("clustered"),
+            F.countDistinct("cluster").alias("clusters"),
+        ).collect()[0]
+        clustered, clusters = int(agg["clustered"]), int(agg["clusters"])
+        return {
+            "images": int(index.count()) if index is not None else 0,
+            "new_images": 0,
+            "clustered": clustered,
+            "clusters": clusters,
+            "duplicates": clustered - clusters,
+            "threshold": threshold,
+            "rebuilt": False,
+        }
 
     all_pairs = cat.read(spark, "image_pairs")
     index = cat.read(spark, "image_index")
@@ -232,7 +283,10 @@ def dedup_images(
         ).filter(F.lit(False))
     cat.commit(
         out, "image_clusters",
-        meta={"threshold": threshold, "source_version": imgs_version},
+        # pairs_version pins the edge-set snapshot these clusters derive
+        # from — the no-op early exit above compares it to skip recompute
+        meta={"threshold": threshold, "source_version": imgs_version,
+              "pairs_version": cat.version("image_pairs")},
     )
     committed = cat.read(spark, "image_clusters")
     agg = committed.agg(

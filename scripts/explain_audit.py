@@ -24,7 +24,7 @@ CHECKS = {
     "q1_pricing_summary": {
         "PushedFilters": r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate",
         "PrunedSchema": r"ReadSchema:[^\n]*l_returnflag[^\n]*$",
-        "NoJoin": r"^(?!.*Join)",
+        "NoJoin": "!Join",
         "Codegen": r"WholeStageCodegen",
     },
     "q3_shipping_priority": {
@@ -51,14 +51,14 @@ CHECKS = {
         # row-local HOF fold: the ONLY data movement is the scan — no
         # Exchange anywhere in the plan (the old version shuffled
         # tokens x 64 bit rows through two groupBys)
-        "NoShuffle": r"^(?!.*Exchange)",
+        "NoShuffle": "!Exchange",
         "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
     },
     "dedup_minhash_lsh_pairs": {
-        "NoCartesian": r"^(?!.*CartesianProduct)",
+        "NoCartesian": "!CartesianProduct",
         # pair generation is in-bucket (grouped array HOFs) — a bucket
         # self-join would recompute the signature lineage twice
-        "NoJoin": r"^(?!.*Join)",
+        "NoJoin": "!Join",
         "PartialAgg": r"HashAggregate",
     },
     "w2_global_crawl_order": {
@@ -77,11 +77,11 @@ CHECKS = {
         # the packed-frame video never leaves the Arrow stage
         "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
         "ArrowStage": r"MapInPandas",
-        "NoShuffle": r"^(?!.*Exchange)",
+        "NoShuffle": "!Exchange",
     },
     "s6_file_hash_manifest": {
         # integrity manifest is a pure projection: scan -> sha2, no shuffle
-        "NoShuffle": r"^(?!.*Exchange)",
+        "NoShuffle": "!Exchange",
         "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
         "Codegen": r"WholeStageCodegen",
     },
@@ -91,17 +91,17 @@ CHECKS = {
         # derivation of the same pruned scan — broadcast, never cartesian
         "PrunedSchema": r"ReadSchema:[^\n]*doc_id[^\n]*text",
         "Codegen": r"WholeStageCodegen",
-        "NoCartesian": r"^(?!.*CartesianProduct)",
+        "NoCartesian": "!CartesianProduct",
     },
     "p16_netlog_extract": {
         # netlog parse is two row-local from_json calls + array HOFs: the
         # log body never shuffles, and only doc_id is read from parquet
-        "NoShuffle": r"^(?!.*Exchange)",
+        "NoShuffle": "!Exchange",
         "PrunedSchema": r"ReadSchema:[^\n]*doc_id",
     },
     "p0_user_selector_detect": {
         # selector match is one row-local rlike — no shuffle, codegen
-        "NoShuffle": r"^(?!.*Exchange)",
+        "NoShuffle": "!Exchange",
         "Codegen": r"WholeStageCodegen",
     },
     "dedup_embedding_ivf": {
@@ -109,14 +109,14 @@ CHECKS = {
         # only inside a bucket (equi-join on the computed bucket key) —
         # the full cross join must never appear
         "BroadcastCodebook": r"BroadcastNestedLoopJoin|BroadcastHashJoin",
-        "NoCartesian": r"^(?!.*CartesianProduct)",
+        "NoCartesian": "!CartesianProduct",
     },
     "img_phash_neardup": {
         # phash band LSH: ONE shuffle on (band_id, band_val); pairs +
         # hamming come from in-array HOFs — zero joins in the plan, and
         # only doc_id is read (phash is computed, bytes never existed)
-        "NoJoin": r"^(?!.*Join)",
-        "NoCartesian": r"^(?!.*CartesianProduct)",
+        "NoJoin": "!Join",
+        "NoCartesian": "!CartesianProduct",
         "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
         "PartialAgg": r"HashAggregate",
     },
@@ -124,7 +124,7 @@ CHECKS = {
         # normalize+gate are row-local; the only shuffle is the
         # groupBy(caption_norm) whose payload is counts+min scalars
         "SingleAggShuffle": r"HashAggregate",
-        "NoJoin": r"^(?!.*Join)",
+        "NoJoin": "!Join",
         "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
     },
     "img_incremental_band_pairs": {
@@ -135,8 +135,8 @@ CHECKS = {
         # computed in the fixture exactly like the images table carries it
         # precomputed)
         "EquiJoin": r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
-        "NoCartesian": r"^(?!.*CartesianProduct)",
-        "NoNestedLoop": r"^(?!.*BroadcastNestedLoopJoin)",
+        "NoCartesian": "!CartesianProduct",
+        "NoNestedLoop": "!BroadcastNestedLoopJoin",
         "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
     },
 }
@@ -192,7 +192,14 @@ def main() -> None:
             plan += cbuf.getvalue().split("== Subtree", 1)[0]
         lines.append(f"## {name}")
         for check, pat in checks.items():
-            hit = re.search(pat, plan, re.M | re.S) is not None
+            # "!X" = X must NOT appear anywhere in the plan. (A negative
+            # lookahead under re.M is vacuous for absence checks: some
+            # line start always follows the last occurrence, so the old
+            # ^(?!.*X) form could never FAIL.)
+            if pat.startswith("!"):
+                hit = re.search(pat[1:], plan) is None
+            else:
+                hit = re.search(pat, plan, re.M) is not None
             ok_all &= hit
             lines.append(f"- {'PASS' if hit else 'FAIL'} {check}")
             print(f"{name:32s} {check:20s} {'PASS' if hit else 'FAIL'}")

@@ -146,6 +146,112 @@ def test_incremental_noop_run(spark, tmp_path):
     assert _clusters_as_sets(Catalog(wd).read(spark, "image_clusters")) == before
 
 
+def test_compaction_entry_does_not_reset_state(spark, tmp_path):
+    """An auto-compaction commit on the state tables (meta {compaction:
+    true}, no threshold key) must not be mistaken for a threshold change:
+    the next run stays incremental instead of silently dropping all state
+    and rebuilding the corpus — which would otherwise recur every
+    compact_threshold appends of a long-lived crawl."""
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    s1 = dedup_images(spark, wd)
+    cat = Catalog(wd)
+    cat.compact(spark, "image_index")  # log[-1] now lacks `threshold`
+    cat.compact(spark, "image_pairs")
+    s2 = dedup_images(spark, wd)
+    assert not s2["rebuilt"]
+    assert s2["new_images"] == 0
+    # and a genuinely new image is still processed incrementally
+    extra = cat.read(spark, "images").limit(1).select(
+        F.concat(F.lit("y_"), "image_id").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption", "phash", "ocr_text",
+        "post_id", "url", "img_idx",
+        (F.col("page") + 5000).cast("int").alias("page"), "pos_in_page",
+    )
+    cat.append(spark, extra, "images", meta={"planted": "y"})
+    s3 = dedup_images(spark, wd)
+    assert not s3["rebuilt"]
+    assert s3["new_images"] == 1
+    assert s3["images"] == s1["images"] + 1
+    one_shot = image_cluster_members(cat.read(spark, "images"))
+    assert _clusters_as_sets(cat.read(spark, "image_clusters")) == \
+        _clusters_as_sets(one_shot)
+
+
+def test_orphan_log_entry_ignored(spark, tmp_path):
+    """A crash between the _log write and the _current pointer swap leaves
+    an orphan log entry whose source_version claims images were processed
+    that the readable index lacks. Trusting it would skip those images
+    forever (silent missing clusters); replay must re-process them."""
+    import os
+
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    dedup_images(spark, wd)
+    cat = Catalog(wd)
+    imgs = cat.read(spark, "images")
+    extra = imgs.limit(2).select(
+        F.concat(F.lit("z_"), "image_id").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption",
+        F.col("phash").bitwiseXOR(F.lit(1)).alias("phash"),
+        "ocr_text", "post_id", "url", "img_idx",
+        (F.col("page") + 7000).cast("int").alias("page"), "pos_in_page",
+    )
+    cat.append(spark, extra, "images", meta={"planted": "z"})
+    # forge the orphan: a log entry past the current pointer claiming the
+    # new images snapshot was already processed (no snapshot, no pointer
+    # swap — exactly what a crash inside _commit_manifest leaves behind)
+    orphan_ver = cat.version("image_index") + 1
+    with open(
+        os.path.join(cat._tdir("image_index"), "_log",
+                     f"v{orphan_ver}.json"), "w",
+    ) as f:
+        json.dump({"version": orphan_ver, "threshold": 8,
+                   "source_version": cat.version("images")}, f)
+    s = dedup_images(spark, wd)
+    assert s["new_images"] == 2  # orphan not trusted; z_ images processed
+    one_shot = image_cluster_members(cat.read(spark, "images"))
+    assert _clusters_as_sets(cat.read(spark, "image_clusters")) == \
+        _clusters_as_sets(one_shot)
+
+
+def test_noop_run_skips_cluster_recommit(spark, tmp_path):
+    """A run with nothing new and an up-to-date derived table must not
+    re-run connected components or commit a new image_clusters snapshot
+    (the driver's final catch-up after an every-wave cadence is exactly
+    this no-op)."""
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    dedup_images(spark, wd)
+    cat = Catalog(wd)
+    v_before = cat.version("image_clusters")
+    s = dedup_images(spark, wd)
+    assert s["new_images"] == 0
+    assert cat.version("image_clusters") == v_before
+
+
+def test_noop_after_images_compaction_advances_marker(spark, tmp_path):
+    """Compacting the images table rewrites the corpus into a fresh dir.
+    The next dedup run finds nothing new but must still record the new
+    processed snapshot version — otherwise EVERY later run re-scans the
+    full-corpus dir and anti-joins the whole index, O(corpus) per cadence
+    tick instead of O(new images)."""
+    from crawlspark.imagededup import _new_images_frame, _state_entry
+
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    dedup_images(spark, wd)
+    cat = Catalog(wd)
+    cat.compact(spark, "images")
+    s = dedup_images(spark, wd)  # pays the one post-compaction rescan
+    assert s["new_images"] == 0
+    st = _state_entry(cat, "image_index")
+    assert st["source_version"] == cat.version("images")
+    # the NEXT run's candidate scan is now empty, not the full corpus
+    cand = _new_images_frame(spark, cat, st["source_version"])
+    assert not cand.inputFiles()
+
+
 def test_threshold_change_rebuilds(spark, tmp_path):
     """Accumulated pairs are only valid at the threshold that confirmed
     them — a different threshold must rebuild from scratch and report it."""

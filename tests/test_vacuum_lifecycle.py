@@ -82,6 +82,28 @@ def test_lifecycle_keep1_clamped_to_2(spark, store, tmp_path):
     assert any(n == 2 for n in counts.values()), counts
 
 
+def test_auto_compaction_keeps_precompaction_snapshot(spark, tmp_path):
+    """compact() rides commit(), so the commit-path vacuum must carry the
+    same >= 2 clamp as append's: with keep_last=1, an append that triggers
+    auto-compaction would otherwise expire the pre-compaction snapshot
+    (and delete its delta dirs) in the compaction commit itself — before
+    append's clamped vacuum even runs — while same-wave cached frames
+    still reference those dirs."""
+    cat = Catalog(
+        str(tmp_path / "c"), compact_threshold=2, vacuum_keep_last=1
+    )
+    df = spark.range(3).selectExpr("id as k")
+    cat.append(spark, df, "t")  # v1: one delta dir
+    pre_dirs = set(cat.manifest("t")["data_dirs"])
+    cat.append(spark, df, "t")  # v2 (2 dirs) -> auto-compacts to v3
+    assert cat.version("t") == 3
+    sdir = os.path.join(str(tmp_path / "c"), "t", "snapshots")
+    assert len(os.listdir(sdir)) >= 2  # pre-compaction snapshot retained
+    tdir = cat._tdir("t")
+    for d in pre_dirs:  # and its delta dirs still exist on disk
+        assert os.path.isdir(os.path.join(tdir, d)), d
+
+
 def test_cli_vacuum_subcommand(spark, store, tmp_path, capsys):
     from crawlspark.cli import main
 
