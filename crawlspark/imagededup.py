@@ -8,43 +8,64 @@ per image (imageops.py), so near-dup detection is pure scalar relational
 work — band LSH over the int64 phash, connected components, one keeper per
 cluster by deterministic crawl order — and the image BYTES never move again.
 
+The LSH / connected-components graph lives at the DISTINCT-PHASH level, not
+the per-image level. A web corpus is exact-duplicate heavy (blank
+thumbnails, logos, tracking pixels: millions of images sharing one phash),
+and per-image edges are quadratic in that multiplicity — k copies of one
+phash would put k entries into each band bucket (one k-element array in a
+single row) and emit k^2/2 pairs, which no skew handling fixes because the
+OUTPUT is quadratic. At phash level the same corpus contributes ONE node:
+exact duplicates never enter the join at all and cluster via their shared
+phash when members are expanded. The residual skew point is the member
+expansion itself (one window partition per cluster), which is linear in
+cluster size.
+
 The pass is INCREMENTAL: a long-lived crawl calls it after every few waves,
-and each run's cost is proportional to the images added since the last run,
-never the corpus. State tables (all scalar-only):
+and each run's pair-generation cost is proportional to the images added
+since the last run, never the corpus. State tables (all scalar-only):
 
 - `image_index` (append-only): one row per already-processed image —
   (image_id, phash, page, pos_in_page, img_idx). The processed-set anti-
   join key AND the keeper-election order source. Its commit meta records
-  the hamming threshold and the `images` snapshot version processed.
-- `image_pairs` (append-only): the accumulated near-dup edge set. Each run
-  appends only pairs that involve at least one NEW image (new-vs-index and
-  new-vs-new from a band join); old-vs-old pairs are already present.
+  the hamming threshold, the edge level, and the `images` snapshot version
+  processed.
+- `image_pairs` (append-only): the accumulated near-dup edge set at phash
+  level — (ph_a, ph_b, hamming), ph_a < ph_b, 1 <= hamming <= threshold.
+  Each run appends only pairs that involve at least one NEW distinct
+  phash; old-vs-old pairs are already present, and phashes already in the
+  index need no new edges (their images inherit the existing component).
 - `image_clusters` (full-replace, derived): one row per clustered image
-  with cluster label + crawl-order keeper flag. Recomputed per run by
-  connected components over the WHOLE edge set — edges are O(duplicate
-  density), tiny relative to the corpus, and recomputing CC sidesteps the
-  cluster-merge problem (a new image can bridge two old clusters) exactly.
+  with cluster label (min image_id in the component — the same label the
+  per-image min-label propagation produced) + crawl-order keeper flag.
+  Recomputed per run by connected components over the WHOLE edge set —
+  edges are O(near-dup phash density), tiny relative to the corpus, and
+  recomputing CC sidesteps the cluster-merge problem (a new image can
+  bridge two old clusters) exactly. Phashes carried by >= 2 images but no
+  near-dup edge form their own exact-dup cluster.
 
 Scale shape (100 TB of crawled images, waves forever):
 - the new-image scan reads ONLY the `images` delta dirs committed since
   the last processed snapshot version (manifest dir-diff, the Iceberg
   incremental-read analog); the anti-join against `image_index` keys
   catches rows a compaction rewrote into fresh dirs;
-- the band join shuffles 4 scalar rows per NEW image against the band
-  explosion of the index; in a real Iceberg deployment `image_index`
-  would be written bucketed by (band_id, band_val) so only the new side
-  shuffles — here both sides shuffle on the band key, and AQE splits a
-  viral band key if one appears;
+- the band join shuffles 4 scalar rows per NEW distinct phash against the
+  band explosion of the index's distinct phashes; in a real Iceberg
+  deployment the distinct-phash side would be maintained as its own
+  bucketed table (phash, n_same) so the per-run distinct() over the index
+  disappears — here it is recomputed per run, one O(corpus-scalars)
+  aggregate on a column-pruned scan;
 - image bytes are never read: every scan prunes to
   (image_id, phash, page, pos_in_page, img_idx);
-- cluster_from_pairs shuffles only (id, label) pairs per round, rounds
+- cluster_from_pairs shuffles only (phash, label) pairs per round, rounds
   bounded by component diameter, lineage truncated with localCheckpoint;
-- keeper election is one window over cluster members ONLY (the pairs'
-  node set), not the corpus.
+- keeper election is one window over cluster members ONLY (images whose
+  phash is in a component), not the corpus.
 
 A threshold change invalidates the accumulated edge set (pairs were
 confirmed at the old threshold), so the pass detects it from the index
-meta and rebuilds from scratch — loudly, in the returned stats.
+meta and rebuilds from scratch — loudly, in the returned stats. The same
+mechanism versions the edge-set format itself (`edge_level`): a workdir
+written by the per-image edge format rebuilds once.
 """
 
 from __future__ import annotations
@@ -62,6 +83,52 @@ from crawlspark.pipeline_ops import (
 
 _ORDER_COLS = ("page", "pos_in_page", "img_idx")
 
+# edge-set format marker recorded in image_index state meta: bump when the
+# image_pairs schema/semantics change so old workdirs rebuild loudly once
+EDGE_LEVEL = "phash"
+
+
+def _phash_components(
+    pairs_ph: DataFrame | None, ph_counts: DataFrame
+) -> DataFrame:
+    """(phash, comp) for every phash that belongs to a cluster: connected
+    components over the phash-level near-dup edges, plus a singleton
+    component per phash carried by >= 2 images that has no near-dup edge
+    (pure exact duplicates). pairs_ph=None means a known-empty edge set."""
+    multi = ph_counts.filter(F.col("n_same") >= 2).select("phash")
+    if pairs_ph is None:
+        return multi.select("phash", F.col("phash").alias("comp"))
+    comps = cluster_from_pairs(
+        pairs_ph.select(
+            F.col("ph_a").alias("doc_a"), F.col("ph_b").alias("doc_b")
+        )
+    ).select(F.col("doc_id").alias("phash"), F.col("cluster").alias("comp"))
+    singles = multi.join(comps.select("phash"), "phash", "left_anti").select(
+        "phash", F.col("phash").alias("comp")
+    )
+    return comps.unionByName(singles)
+
+
+def _members_from_components(
+    rows: DataFrame, ph_comp: DataFrame
+) -> DataFrame:
+    """Expand phash-level components to per-image cluster members:
+    (image_id, cluster, is_keeper, page, pos_in_page, img_idx). The
+    cluster label is min(image_id) over the component — identical to what
+    per-image min-label propagation would produce — and the keeper is the
+    first member in deterministic crawl order. Both windows share the
+    component partitioning (one shuffle)."""
+    members = rows.select("image_id", "phash", *_ORDER_COLS).join(
+        ph_comp, "phash"
+    )
+    wc = Window.partitionBy("comp")
+    labeled = members.select(
+        "image_id",
+        F.min("image_id").over(wc).alias("cluster"),
+        *_ORDER_COLS,
+    )
+    return _elect_keepers(labeled)
+
 
 def image_cluster_members(
     imgs: DataFrame, threshold: int = PHASH_HAM_T
@@ -70,15 +137,18 @@ def image_cluster_members(
     for every image in a phash near-dup cluster — the non-incremental
     reference semantics `dedup_images` must match after any number of
     incremental runs. Keeper = first cluster member in deterministic crawl
-    order (page, pos_in_page, img_idx, image_id)."""
-    pairs = phash_neardup_pairs(imgs, threshold=threshold)
-    members = cluster_from_pairs(
-        pairs.select(
-            F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
-        )
-    ).select(F.col("doc_id").alias("image_id"), "cluster")
-    order_cols = imgs.select("image_id", *_ORDER_COLS)
-    return _elect_keepers(members.join(order_cols, "image_id"))
+    order (page, pos_in_page, img_idx, image_id). LSH/CC run over DISTINCT
+    phashes (see module docstring); exact duplicates cluster via the
+    shared phash without ever entering the band join."""
+    base = imgs.select("image_id", "phash", *_ORDER_COLS).filter(
+        F.col("phash").isNotNull()
+    )
+    ph_counts = base.groupBy("phash").agg(F.count("*").alias("n_same"))
+    pairs = phash_neardup_pairs(
+        ph_counts.select("phash"), id_col="phash", phash_col="phash",
+        threshold=threshold,
+    ).select(F.col("img_a").alias("ph_a"), F.col("img_b").alias("ph_b"))
+    return _members_from_components(base, _phash_components(pairs, ph_counts))
 
 
 def _elect_keepers(members_with_order: DataFrame) -> DataFrame:
@@ -119,25 +189,27 @@ def _new_images_frame(
 
 
 def incremental_band_pairs(
-    new: DataFrame, all_side: DataFrame, threshold: int = PHASH_HAM_T
+    new_ph: DataFrame, all_ph: DataFrame, threshold: int = PHASH_HAM_T
 ) -> DataFrame:
-    """Near-dup pairs (img_a, img_b, hamming) that involve at least one
-    image from `new`: band join of NEW bands x (index + new) bands. Old-
-    vs-old pairs are already in the accumulated edge set and never
-    recompute. Scale shape: an equi shuffle join on (band_id, band_val) —
-    4 scalar rows per image on each side, never a cartesian; AQE splits a
-    viral band key. In a real Iceberg deployment the index side would be
-    written bucketed by the band key so only the new side shuffles."""
-    nb = explode_phash_bands(new.select("image_id", "phash"))
-    ab = explode_phash_bands(all_side.select("image_id", "phash"))
+    """Near-dup phash pairs (ph_a, ph_b, hamming) that involve at least
+    one phash from `new_ph`: band join of NEW distinct phashes x (index +
+    new) distinct phashes. Old-vs-old pairs are already in the accumulated
+    edge set and never recompute. Scale shape: an equi shuffle join on
+    (band_id, band_val) — 4 scalar rows per DISTINCT phash per side, so
+    exact-duplicate multiplicity never inflates the join (per-image edges
+    would be quadratic in copies-per-phash); AQE splits a viral band key.
+    In a real Iceberg deployment the index side would be written bucketed
+    by the band key so only the new side shuffles."""
+    nb = explode_phash_bands(new_ph, id_col="phash")
+    ab = explode_phash_bands(all_ph, id_col="phash")
     joined = nb.alias("n").join(
         ab.alias("o"),
         ["band_id", "band_val"],
-    ).filter(F.col("n.image_id") != F.col("o.image_id"))
+    ).filter(F.col("n.phash") != F.col("o.phash"))
     return (
         joined.select(
-            F.least("n.image_id", "o.image_id").alias("img_a"),
-            F.greatest("n.image_id", "o.image_id").alias("img_b"),
+            F.least("n.phash", "o.phash").alias("ph_a"),
+            F.greatest("n.phash", "o.phash").alias("ph_b"),
             F.bit_count(
                 F.col("n.phash").bitwiseXOR(F.col("o.phash"))
             ).alias("hamming"),
@@ -184,14 +256,19 @@ def dedup_images(
 
     last = _state_entry(cat, "image_index")
     rebuilt = False
-    if last is not None and last.get("threshold") != threshold:
-        # accumulated pairs were confirmed at a different threshold —
-        # the edge set is not reusable; start over
+    if last is not None and (
+        last.get("threshold") != threshold
+        or last.get("edge_level") != EDGE_LEVEL
+    ):
+        # accumulated pairs were confirmed at a different threshold (or
+        # written in a different edge-set format) — not reusable; start over
         cat.drop("image_index")
         cat.drop("image_pairs")
         cat.drop("image_clusters")
         last, rebuilt = None, True
     prev_src = int(last.get("source_version", 0)) if last else 0
+    state_meta = {"threshold": threshold, "edge_level": EDGE_LEVEL,
+                  "source_version": imgs_version}
 
     index = cat.read(spark, "image_index")
     candidates = _new_images_frame(spark, cat, prev_src)
@@ -205,18 +282,31 @@ def dedup_images(
     try:
         n_new = new.count()
         if n_new > 0:
-            all_side = (
-                index.unionByName(new) if index is not None else new
+            new_ph = (
+                new.select("phash")
+                .filter(F.col("phash").isNotNull())
+                .distinct()
             )
-            pairs_new = incremental_band_pairs(new, all_side, threshold)
+            if index is not None:
+                old_ph = (
+                    index.select("phash")
+                    .filter(F.col("phash").isNotNull())
+                    .distinct()
+                )
+                # phashes already indexed need no new edges: their images
+                # inherit the existing component at member expansion
+                new_ph = new_ph.join(old_ph, "phash", "left_anti")
+                all_ph = old_ph.unionByName(new_ph)
+            else:
+                all_ph = new_ph
+            pairs_new = incremental_band_pairs(new_ph, all_ph, threshold)
             cat.append(
-                spark, pairs_new.orderBy("img_a", "img_b"), "image_pairs",
+                spark, pairs_new.orderBy("ph_a", "ph_b"), "image_pairs",
                 meta={"source_version": imgs_version},
             )
             cat.append(
                 spark, new.orderBy(*_ORDER_COLS, "image_id"), "image_index",
-                meta={"threshold": threshold,
-                      "source_version": imgs_version},
+                meta=state_meta,
             )
         elif last is None or prev_src != imgs_version:
             # nothing to index, but record the processed source version +
@@ -225,11 +315,7 @@ def dedup_images(
             # into a fresh dir) would make EVERY subsequent run re-scan
             # that full-corpus dir and anti-join the entire index —
             # O(corpus) per cadence tick instead of O(new images)
-            cat.append(
-                spark, new, "image_index",
-                meta={"threshold": threshold,
-                      "source_version": imgs_version},
-            )
+            cat.append(spark, new, "image_index", meta=state_meta)
     finally:
         new.unpersist()
 
@@ -265,22 +351,14 @@ def dedup_images(
 
     all_pairs = cat.read(spark, "image_pairs")
     index = cat.read(spark, "image_index")
-    if all_pairs is not None and all_pairs.head(1):
-        members = cluster_from_pairs(
-            all_pairs.select(
-                F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
-            )
-        ).select(F.col("doc_id").alias("image_id"), "cluster")
-        out = _elect_keepers(
-            members.join(index.select("image_id", *_ORDER_COLS), "image_id")
-        ).orderBy("cluster", *_ORDER_COLS, "image_id")
-    else:
-        out = index.select(
-            "image_id",
-            F.col("image_id").alias("cluster"),
-            F.lit(True).alias("is_keeper"),
-            *_ORDER_COLS,
-        ).filter(F.lit(False))
+    base = index.filter(F.col("phash").isNotNull())
+    ph_counts = base.groupBy("phash").agg(F.count("*").alias("n_same"))
+    pairs_ph = (
+        all_pairs if all_pairs is not None and all_pairs.head(1) else None
+    )
+    out = _members_from_components(
+        base, _phash_components(pairs_ph, ph_counts)
+    ).orderBy("cluster", *_ORDER_COLS, "image_id")
     cat.commit(
         out, "image_clusters",
         # pairs_version pins the edge-set snapshot these clusters derive

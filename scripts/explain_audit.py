@@ -157,8 +157,14 @@ def _build_img_incremental_band_pairs(spark, sf_dir: str):
         F.col("doc_id").alias("image_id"),
         F.xxhash64(F.col("doc_id").cast("string")).alias("phash"),
     )
-    new = imgs.filter(F.pmod(F.col("image_id"), F.lit(10)) == 0)
-    return incremental_band_pairs(new, imgs)
+    # the join operates at DISTINCT-phash level (exact-dup multiplicity
+    # never inflates it); new = the 10% of phashes from new images
+    all_ph = imgs.select("phash").distinct()
+    new_ph = (
+        imgs.filter(F.pmod(F.col("image_id"), F.lit(10)) == 0)
+        .select("phash").distinct()
+    )
+    return incremental_band_pairs(new_ph, all_ph)
 
 
 EXTRA_BUILDERS = {

@@ -146,6 +146,52 @@ def test_incremental_noop_run(spark, tmp_path):
     assert _clusters_as_sets(Catalog(wd).read(spark, "image_clusters")) == before
 
 
+def test_exact_dup_multiplicity_never_inflates_edges(spark, tmp_path):
+    """The edge set lives at DISTINCT-phash level: k exact copies of one
+    image contribute one node to the band join, not k — per-image edges
+    would be k*(k-1)/2 pairs, a quadratic output no skew handling fixes
+    (web corpora are exact-dup heavy: blank thumbnails, logos). The copies
+    still cluster via the shared phash, and the crawl-order keeper wins."""
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)  # near-dups at distinct phashes
+    dedup_images(spark, wd)
+    cat = Catalog(wd)
+    p1 = cat.read(spark, "image_pairs").count()
+
+    one = cat.read(spark, "images").orderBy(
+        "page", "pos_in_page", "img_idx"
+    ).limit(1).persist()
+    k = 30
+    exact = one.crossJoin(
+        spark.range(k).select(F.col("id").alias("ci"))
+    ).select(
+        F.concat(F.lit("ex"), F.col("ci").cast("string"), F.lit("_"),
+                 "image_id").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption", "phash", "ocr_text",
+        "post_id", "url", "img_idx",
+        (F.col("page") + 9000 + F.col("ci")).cast("int").alias("page"),
+        "pos_in_page",
+    )
+    cat.append(spark, exact, "images", meta={"planted": "exact"})
+    s = dedup_images(spark, wd)
+    assert s["new_images"] == k
+    # the k copies share an already-indexed phash: ZERO new edges (a
+    # per-image edge set would have added >= k*(k-1)/2 = 435 pairs)
+    assert cat.read(spark, "image_pairs").count() == p1
+    # but every copy is clustered with the original, keeper = crawl-first
+    members = cat.read(spark, "image_clusters")
+    orig = one.collect()[0]
+    ex_rows = members.filter(F.col("image_id").startswith("ex")).collect()
+    assert len(ex_rows) == k
+    orig_row = members.filter(F.col("image_id") == orig.image_id).collect()[0]
+    assert {r.cluster for r in ex_rows} == {orig_row.cluster}
+    assert all(not r.is_keeper for r in ex_rows)
+    one.unpersist()
+    # and the committed table still equals the from-scratch reference
+    one_shot = image_cluster_members(cat.read(spark, "images"))
+    assert _clusters_as_sets(members) == _clusters_as_sets(one_shot)
+
+
 def test_compaction_entry_does_not_reset_state(spark, tmp_path):
     """An auto-compaction commit on the state tables (meta {compaction:
     true}, no threshold key) must not be mistaken for a threshold change:
