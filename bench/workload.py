@@ -147,13 +147,18 @@ def run_fetch_parse_bench(spark: SparkSession, n_posts: int) -> dict:
 
 
 def synth_images(
-    spark: SparkSession, n: int, partitions: int | None = None
+    spark: SparkSession, n: int, partitions: int | None = None,
+    viral_every: int = 0,
 ) -> DataFrame:
     """n images-table-shaped rows (image_id, phash, page, pos_in_page,
     img_idx) built closed-form with JVM functions — the scalar projection
     the near-dup pass reads (bytes never enter the plan). Every 10th image
     is a planted near-dup of its predecessor (phash XOR 3 = hamming 2), so
-    the LSH/CC/keeper stages all do real work at a realistic dup rate."""
+    the LSH/CC/keeper stages all do real work at a realistic dup rate.
+    viral_every=k additionally gives every k-th image ONE shared constant
+    phash — the blank-thumbnail/logo degeneracy that makes per-image LSH
+    quadratic (n/k copies -> (n/k)^2/2 pairs); the distinct-phash edge set
+    must stay flat under it (BENCH/SKEW.md)."""
     df = spark.range(
         0, n, 1, partitions or spark.sparkContext.defaultParallelism * 4
     )
@@ -163,6 +168,11 @@ def synth_images(
     phash = F.xxhash64(src.cast("string")).bitwiseXOR(
         F.when(is_dup, F.lit(3)).otherwise(F.lit(0))
     )
+    if viral_every:
+        phash = F.when(
+            F.pmod(iid, F.lit(viral_every)) == 2,
+            F.lit(-6148914691236517206),  # 0xAAAA...: the shared "blank"
+        ).otherwise(phash)
     return df.select(
         F.concat(F.lit("img"), iid.cast("string")).alias("image_id"),
         phash.alias("phash"),
@@ -172,16 +182,21 @@ def synth_images(
     )
 
 
-def run_image_dedup_bench(spark: SparkSession, n_images: int) -> dict:
+def run_image_dedup_bench(
+    spark: SparkSession, n_images: int, viral_every: int = 0
+) -> dict:
     """Images near-dup pass throughput: band-LSH pair generation ->
     connected components -> crawl-order keeper election, over a synthetic
-    images projection with a 10% planted dup rate. Measured quantity:
+    images projection with a 10% planted dup rate (plus an optional viral
+    shared phash every `viral_every` images). Measured quantity:
     images/sec through the full cluster+keeper computation."""
     from crawlspark.imagededup import image_cluster_members
 
     spark.catalog.clearCache()
     t0 = time.time()
-    members = image_cluster_members(synth_images(spark, n_images))
+    members = image_cluster_members(
+        synth_images(spark, n_images, viral_every=viral_every)
+    )
     agg = members.agg(
         F.count("*").alias("clustered"),
         F.countDistinct("cluster").alias("clusters"),

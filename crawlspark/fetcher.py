@@ -125,34 +125,67 @@ class CallbackResolver:
     dedup's own shuffle would otherwise scatter a host's URLs across every
     partition, and a live fetcher wants one partition's worth of
     connections per host group (connection reuse, per-host pacing), the
-    same layout the driver's frontier uses."""
+    same layout the driver's frontier uses.
+
+    `max_concurrency` > 1 overlaps the per-URL callback calls WITHIN a
+    partition through a bounded thread pool — the connection-pool shape a
+    real HTTP client needs, since sequential per-URL latency (not CPU)
+    dominates a live fetch. Results keep the frontier's in-partition order
+    (pool.map preserves input order), so every downstream table is
+    byte-identical to the sequential path, and politeness is untouched:
+    the engine accounts politeness in deterministic VIRTUAL time from the
+    frontier (politeness.py), not from fetch wall-clock, so overlapping
+    I/O never changes the schedule it reports. A callback that enforces a
+    real-time per-host budget can still do so internally (it sees one
+    host group per partition)."""
 
     def __init__(
         self,
         fetch: Callable[[str, str], dict | None],
         robots_urls: list[str] | None = None,
         n_host_buckets: int = 32,
+        max_concurrency: int = 1,
     ):
         self.fetch = fetch
         self.robots_urls = list(robots_urls or [])
         self.n_host_buckets = n_host_buckets
+        self.max_concurrency = max(1, int(max_concurrency))
 
     def _resolve(self, frontier, kind, schema, row_fn):
         from crawlspark.canonical import host_bucket, host_of
 
         fetch = self.fetch
+        conc = self.max_concurrency
         columns = [field.split()[0] for field in schema.split(", ")]
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
-            for pdf in batches:
-                rows = []
-                for url in pdf["url"]:
-                    got = fetch(kind, url)
-                    if got is not None:
-                        rows.append(row_fn(url, got))
-                yield pd.DataFrame(rows, columns=columns)
+            if conc == 1:
+                for pdf in batches:
+                    rows = []
+                    for url in pdf["url"]:
+                        got = fetch(kind, url)
+                        if got is not None:
+                            rows.append(row_fn(url, got))
+                    yield pd.DataFrame(rows, columns=columns)
+                return
+            from concurrent.futures import ThreadPoolExecutor
+
+            # one bounded pool per task (partition); map() preserves input
+            # order, so the emitted rows are identical to the sequential
+            # path's — only the fetch calls overlap
+            with ThreadPoolExecutor(max_workers=conc) as pool:
+                for pdf in batches:
+                    urls = list(pdf["url"])
+                    rows = [
+                        row_fn(u, got)
+                        for u, got in zip(
+                            urls, pool.map(lambda u: fetch(kind, u), urls)
+                        )
+                        if got is not None
+                    ]
+                    yield pd.DataFrame(rows, columns=columns)
 
         fr = (
             frontier.select("url")

@@ -151,6 +151,82 @@ def test_live_resolver_fetches_each_url_once(spark, site, tmp_path):
         assert not dupes, f"{kind} fetched more than once: {sorted(dupes)[:5]}"
 
 
+def test_seam_concurrent_callback_identical(spark, site, both, tmp_path):
+    """max_concurrency=4 must leave every committed table and the
+    politeness virtual-time byte-identical to the sequential store path —
+    pool.map preserves in-partition order, and politeness is virtual-time
+    accounting, never fetch wall-clock."""
+    rows = page_store_rows(site)
+    resolver = CallbackResolver(
+        _callback(rows),
+        robots_urls=[r["url"] for r in rows if r["kind"] == "robots"],
+        max_concurrency=4,
+    )
+    store = spark.createDataFrame(rows, PAGE_STORE)
+    wd = str(tmp_path / "wd")
+    r = crawl(
+        spark, store.limit(0), SPEC.base_url, wd, pages=SPEC.pages,
+        pages_per_wave=2, run_id="seam", resolver=resolver,
+    )
+    (r_store, cat_store), _ = both
+    assert r.stats == r_store.stats
+    assert r.virtual_seconds == r_store.virtual_seconds
+    cat = Catalog(wd)
+    for table, order in (
+        ("crawl_order", ["page", "pos_in_page"]),
+        ("seen", ["url"]),
+        ("posts", ["post_id"]),
+        ("errors", ["url"]),
+        ("images", ["image_id"]),
+        ("files", ["file_id"]),
+    ):
+        assert _rows(spark, cat, table, order) == _rows(
+            spark, cat_store, table, order
+        ), table
+
+
+def test_callback_concurrency_overlaps_calls(spark, tmp_path):
+    """The bounded pool must actually overlap per-URL calls within a
+    partition: every fetch records its (start, end) monotonic window to an
+    executor-side trace file, and with 12 same-host URLs (one host bucket
+    -> one partition) through a 4-thread pool, at least two windows in the
+    same worker process must intersect."""
+    trace = tmp_path / "t"
+    trace.mkdir()
+    tdir = str(trace)
+
+    def fetch(kind: str, url: str) -> dict | None:
+        import os
+        import time
+        import uuid
+
+        t0 = time.monotonic()
+        time.sleep(0.05)  # models network latency; CPU stays idle
+        t1 = time.monotonic()
+        path = os.path.join(tdir, f"{os.getpid()}-{uuid.uuid4().hex}")
+        with open(path, "w") as f:
+            f.write(f"{t0} {t1}")
+        return {"body": "<html></html>"}
+
+    resolver = CallbackResolver(fetch, max_concurrency=4)
+    fr = spark.createDataFrame(
+        [(f"http://h.example/p{i}",) for i in range(12)], "url string"
+    )
+    assert resolver.post_rows(spark, fr).count() == 12
+    by_pid: dict[str, list[tuple[float, float]]] = {}
+    for p in trace.iterdir():
+        t0, t1 = map(float, p.read_text().split())
+        by_pid.setdefault(p.name.split("-")[0], []).append((t0, t1))
+    assert any(
+        any(
+            a0 < b1 and b0 < a1
+            for i, (a0, a1) in enumerate(iv)
+            for (b0, b1) in iv[i + 1:]
+        )
+        for iv in by_pid.values()
+    ), "no two fetch windows overlapped in any worker"
+
+
 def test_callback_fail_attempts_none_is_zero(spark):
     """Advisor r4 (low): an explicit {'fail_attempts': None} from a callback
     must read as 0 failed attempts (the key is documented optional), not
