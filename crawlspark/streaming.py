@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from crawlspark.catalog import Catalog
-from crawlspark.driver import _BucketState, _run_wave
+from crawlspark.driver import _BucketState, _run_image_dedup, _run_wave
 from crawlspark.fetcher import PageStoreResolver
 from crawlspark.seen import ShardedBloomSeen
 
@@ -56,13 +56,17 @@ def stream_crawl(
     listing_source: str = "render",
     image_keep_bytes: bool = True,
     vacuum_keep_last: int = 8,
+    image_dedup_every_waves: int = 0,
 ) -> None:
     """Consume all currently-available frontier files (Trigger.AvailableNow),
     one wave per micro-batch, then stop. Restart with the same
     ``stream_checkpoint`` to pick up newly arrived files — batch ids (and so
     wave ids) continue where they left off. Retention rides each
     micro-batch's commits exactly like the batch driver
-    (vacuum_keep_last; 0 = keep full history)."""
+    (vacuum_keep_last; 0 = keep full history), and so does the incremental
+    image near-dup pass (image_dedup_every_waves; 0 = off) — the pass
+    reads its own processed-version state, so a foreachBatch retry or a
+    restart never reprocesses committed images."""
     page_store = page_store.cache()
     resolver = PageStoreResolver(page_store)
 
@@ -101,6 +105,8 @@ def stream_crawl(
             spark, cat, bloom, resolver, base_url, run_id, wave, pages,
             image_keep_bytes, bucket, None, [], listing_source,
         )
+        if image_dedup_every_waves > 0 and wave % image_dedup_every_waves == 0:
+            _run_image_dedup(spark, workdir, vacuum_keep_last)
 
     q = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)

@@ -118,6 +118,51 @@ def test_stream_crawl_matches_oracle(spark, site, golden, tmp_path_factory):
     assert {r["url"] for r in cat.read(spark, "seen").collect()} == golden.seen
 
 
+def test_stream_crawl_image_dedup_cadence(spark, site, tmp_path_factory):
+    """image_dedup_every_waves runs the incremental near-dup pass inside
+    the streaming lifecycle too: after two arrivals the derived
+    image_clusters equals a from-scratch pass over the streamed images
+    table, and the index log shows per-wave incremental appends (never a
+    rebuild)."""
+    from crawlspark.imagededup import _state_entry, image_cluster_members
+
+    base = tmp_path_factory.mktemp("stream_imgdd")
+    stream_dir = str(base / "frontier_in")
+    workdir = str(base / "catalog")
+    ckpt = str(base / "stream_ckpt")
+    store = spark.createDataFrame(page_store_rows(site), PAGE_STORE)
+
+    _write_band(spark, stream_dir, "band1", [1, 2])
+    stream_crawl(
+        spark, stream_dir, store, SPEC.base_url, workdir, ckpt,
+        run_id="sdd", image_dedup_every_waves=1,
+    )
+    cat = Catalog(workdir)
+    v1 = cat.version("image_clusters")
+    assert v1 > 0  # the pass ran inside the first micro-batch
+
+    _write_band(spark, stream_dir, "band2", [3, 4])
+    stream_crawl(
+        spark, stream_dir, store, SPEC.base_url, workdir, ckpt,
+        run_id="sdd", image_dedup_every_waves=1,
+    )
+    assert cat.version("image_clusters") > v1
+    st = _state_entry(cat, "image_index")
+    assert st["source_version"] == cat.version("images")
+
+    def as_sets(df):
+        clusters = {}
+        for r in df.collect():
+            clusters.setdefault(r.cluster, set()).add(
+                (r.image_id, bool(r.is_keeper))
+            )
+        return set(map(frozenset, clusters.values()))
+
+    got = cat.read(spark, "image_clusters")
+    want = image_cluster_members(cat.read(spark, "images"))
+    assert as_sets(got) == as_sets(want)
+
+
 def _write_events(spark, stream_dir: str, name: str, rows) -> None:
     import glob
     import os
