@@ -70,7 +70,7 @@ written by the per-image edge format rebuilds once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawlspark.catalog import Catalog
@@ -116,18 +116,41 @@ def _members_from_components(
     (image_id, cluster, is_keeper, page, pos_in_page, img_idx). The
     cluster label is min(image_id) over the component — identical to what
     per-image min-label propagation would produce — and the keeper is the
-    first member in deterministic crawl order. Both windows share the
-    component partitioning (one shuffle)."""
+    first member in deterministic crawl order.
+
+    TWO-PHASE election instead of per-cluster windows: a groupBy(comp)
+    computes min(image_id) and the min crawl-order key with map-side
+    partial aggregation (every task emits one candidate row per component
+    it touches), then the per-component minima attach back with an equi
+    join AQE turns into a broadcast when the component count is small.
+    A 20M-member viral cluster therefore never serializes into one window
+    task — the hot component collapses to one row per map task before any
+    shuffle — which the former row_number-window form could not avoid
+    (and that form also paid a second exchange because the keeper window
+    re-partitioned by cluster, a different key than comp). The min-struct
+    comparison is exactly row_number()==1 under the same
+    (page, pos_in_page, img_idx, image_id) order: image_id is unique, so
+    the minimum is unique."""
     members = rows.select("image_id", "phash", *_ORDER_COLS).join(
         ph_comp, "phash"
     )
-    wc = Window.partitionBy("comp")
-    labeled = members.select(
+    ord_key = F.struct(*_ORDER_COLS, "image_id")
+    per_comp = members.groupBy("comp").agg(
+        F.min("image_id").alias("cluster"),
+        F.min(ord_key).alias("__min_ord"),
+    )
+    # the per-component minima are the guide-§8.4 "decision table": one row
+    # per component, broadcast back so members are never shuffled by comp
+    # (a deployment whose component count outgrows broadcast limits drops
+    # the hint and gets the identical equi join). members appears in both
+    # branches; its lineage is a pruned scan + the ph_comp broadcast join,
+    # cheaper re-run twice than materialized once (measured).
+    return members.join(F.broadcast(per_comp), "comp").select(
         "image_id",
-        F.min("image_id").over(wc).alias("cluster"),
+        "cluster",
+        (ord_key == F.col("__min_ord")).alias("is_keeper"),
         *_ORDER_COLS,
     )
-    return _elect_keepers(labeled)
 
 
 def image_cluster_members(
@@ -143,24 +166,21 @@ def image_cluster_members(
     base = imgs.select("image_id", "phash", *_ORDER_COLS).filter(
         F.col("phash").isNotNull()
     )
-    ph_counts = base.groupBy("phash").agg(F.count("*").alias("n_same"))
+    # ph_counts feeds THREE consumers (the band join's distinct-phash side,
+    # the exact-dup singles, and — transitively — the CC edge lineage); a
+    # lazy localCheckpoint materializes the groupBy once on first use
+    # instead of re-running the corpus-wide shuffle per consumer. Not
+    # CacheManager-backed, so a fresh call always recomputes from source.
+    ph_counts = (
+        base.groupBy("phash")
+        .agg(F.count("*").alias("n_same"))
+        .localCheckpoint(eager=False)
+    )
     pairs = phash_neardup_pairs(
         ph_counts.select("phash"), id_col="phash", phash_col="phash",
         threshold=threshold,
     ).select(F.col("img_a").alias("ph_a"), F.col("img_b").alias("ph_b"))
     return _members_from_components(base, _phash_components(pairs, ph_counts))
-
-
-def _elect_keepers(members_with_order: DataFrame) -> DataFrame:
-    w = Window.partitionBy("cluster").orderBy(
-        *_ORDER_COLS, "image_id"
-    )
-    return members_with_order.select(
-        "image_id",
-        "cluster",
-        (F.row_number().over(w) == 1).alias("is_keeper"),
-        *_ORDER_COLS,
-    )
 
 
 def _new_images_frame(

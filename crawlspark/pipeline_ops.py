@@ -349,13 +349,19 @@ def cluster_from_pairs(
     # materialize the symmetric edge set ONCE: nodes, self-loops, and the
     # initial labels all derive from it, and `pairs` can carry an arbitrary
     # upstream lineage (e.g. the full LSH pair generation) — without this
-    # persist that lineage re-evaluates up to 4x before round 1 (both union
-    # branches + the nodes distinct + the labels init)
+    # persist that lineage re-evaluates up to 4x before round 1. The
+    # symmetric expansion is a single explode over each pair row (a
+    # two-branch union would evaluate the pairs lineage once PER BRANCH
+    # inside the same materialization — measured as the bulk of round 1's
+    # 15s at 1M images)
     base = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    ).persist()
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").persist()
     nodes = base.select("a").distinct()
     # self-loops: min over neighbors-plus-self == least(own, neighbor min),
     # and isolated replay of a node's own label needs no outer join
@@ -366,8 +372,14 @@ def cluster_from_pairs(
         F.col("a").alias("doc_id"), F.col("a").alias("cluster")
     ).persist()
     converged = False
+    to_unpersist = labels
     for rnd in range(1, max_rounds + 1):
-        new_labels = (
+        # one job per round: the self-loop row carries each node's OWN
+        # previous label through the same join, so the convergence check is
+        # a filter over the just-persisted frame instead of a second
+        # join-with-old-labels job (guide §2.4: two operations keyed the
+        # same way share one pass)
+        new_full = (
             edges.join(
                 labels.select(
                     F.col("doc_id").alias("b"), F.col("cluster").alias("b_cluster")
@@ -375,24 +387,25 @@ def cluster_from_pairs(
                 "b",
             )
             .groupBy("a")
-            .agg(F.min("b_cluster").alias("cluster"))
-            .select(F.col("a").alias("doc_id"), "cluster")
+            .agg(
+                F.min("b_cluster").alias("cluster"),
+                F.min(
+                    F.when(F.col("b") == F.col("a"), F.col("b_cluster"))
+                ).alias("__own"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.select("doc_id", F.col("cluster").alias("new_cluster"))
-            .join(labels, "doc_id")
-            .filter(F.col("new_cluster") != F.col("cluster"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_full.filter(F.col("cluster") != F.col("__own")).count()
+        to_unpersist.unpersist()
+        to_unpersist = new_full
+        labels = new_full.select(F.col("a").alias("doc_id"), "cluster")
         if changed == 0:
             converged = True
             break
         if rnd % checkpoint_every == 0:
             cp = labels.localCheckpoint(eager=True)
-            labels.unpersist()
+            to_unpersist.unpersist()
+            to_unpersist = cp
             labels = cp
     edges.unpersist()
     base.unpersist()
@@ -1183,30 +1196,53 @@ def phash_neardup_pairs(
     zero joins anywhere, never O(n^2) across the corpus. Rows with NULL
     phash (failed decodes) are excluded up front."""
     expl = explode_phash_bands(imgs, id_col, phash_col)
-    grouped = (
-        expl.groupBy("band_id", "band_val")
-        .agg(F.sort_array(F.collect_set(F.struct("image_id", "phash"))).alias("m"))
-        .filter(F.size("m") > 1)
-    )
-    pairs = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(m, (x, i) -> "
-                    "transform(slice(m, i + 2, size(m)), y -> struct("
-                    "x.image_id AS img_a, y.image_id AS img_b, "
-                    "x.phash AS ph_a, y.phash AS ph_b))))"
-                )
-            ).alias("p")
+    # the hamming confirm runs INSIDE the pair-generation expression, before
+    # any row materializes: a busy 16-bit band bucket generates O(|bucket|^2)
+    # candidate structs, and filtering them in-array keeps the Generate
+    # output (and the distinct's shuffle) proportional to true near-dups —
+    # the former explode -> distinct -> filter order shuffled every
+    # candidate (24M rows at 1M images) to deduplicate band multiplicity
+    # before throwing 99.6% of them away. Filter commutes with distinct
+    # (hamming is a pure function of the pair), so the result is identical.
+    if id_col == phash_col:
+        # phash-level callers (the engine dedup pass) would collect the
+        # same int64 twice per member; bucket arrays of bare phashes halve
+        # the collect_set shuffle. sort_array over values orders pairs
+        # exactly like the struct sort does when image_id == phash.
+        grouped = (
+            expl.groupBy("band_id", "band_val")
+            .agg(F.sort_array(F.collect_set("phash")).alias("m"))
+            .filter(F.size("m") > 1)
         )
-        .select("p.img_a", "p.img_b", "p.ph_a", "p.ph_b")
+        pair_expr = (
+            "filter(flatten(transform(m, (x, i) -> "
+            "transform(slice(m, i + 2, size(m)), y -> struct("
+            "x AS img_a, y AS img_b, "
+            "bit_count(x ^ y) AS hamming)))), "
+            f"p -> p.hamming <= {int(threshold)})"
+        )
+    else:
+        grouped = (
+            expl.groupBy("band_id", "band_val")
+            .agg(
+                F.sort_array(
+                    F.collect_set(F.struct("image_id", "phash"))
+                ).alias("m")
+            )
+            .filter(F.size("m") > 1)
+        )
+        pair_expr = (
+            "filter(flatten(transform(m, (x, i) -> "
+            "transform(slice(m, i + 2, size(m)), y -> struct("
+            "x.image_id AS img_a, y.image_id AS img_b, "
+            "bit_count(x.phash ^ y.phash) AS hamming)))), "
+            f"p -> p.hamming <= {int(threshold)})"
+        )
+    return (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.img_a", "p.img_b", "p.hamming")
         .distinct()  # a pair sharing k bands appears k times
     )
-    return pairs.select(
-        "img_a",
-        "img_b",
-        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= threshold)
 
 
 def _lcg_phash(i):
