@@ -172,6 +172,27 @@ class Catalog:
             return None
         return self._read_dirs(spark, table, m["data_dirs"], m["schema"])
 
+    def read_delta(
+        self, spark: SparkSession, table: str, since_version: int
+    ) -> DataFrame | None:
+        """Rows of the data dirs added AFTER `since_version`'s snapshot
+        (manifest dir-diff — the Iceberg incremental-read analog). Falls
+        back to the full current snapshot when the old manifest was
+        vacuumed (since_version <= 0 or expired); returns an empty frame
+        when no new dirs exist and None when the table does not exist.
+        NOTE: a compaction rewrites old rows into a fresh dir, so callers
+        tracking a processed set must still anti-join against their own
+        keys — dir-diff bounds the scan, not the row set."""
+        cur = self.manifest(table)
+        if cur is None:
+            return None
+        old = self.manifest(table, since_version) if since_version > 0 else None
+        if old is None:
+            return self._read_dirs(spark, table, cur["data_dirs"], cur["schema"])
+        old_dirs = set(old["data_dirs"])
+        new_rels = [d for d in cur["data_dirs"] if d not in old_dirs]
+        return self._read_dirs(spark, table, new_rels, cur["schema"])
+
     def _read_dirs(
         self, spark: SparkSession, table: str, rels: list[str], schema_json: str
     ) -> DataFrame:

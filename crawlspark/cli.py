@@ -22,6 +22,16 @@ import sys
 
 from pyspark.sql import functions as F
 
+# every state table the engine can write under a workdir (status/vacuum
+# iterate this; reset enumerates the filesystem instead so nothing new can
+# ever be missed)
+STATE_TABLES = (
+    "posts", "images", "image_index", "image_pairs", "image_bands",
+    "image_clusters", "files", "seen", "crawl_order", "lineage",
+    "checkpoints", "metrics", "robots", "errors", "frontier",
+    "politeness", "politeness_state",
+)
+
 
 def _spark(args):
     from crawlspark.session import get_spark
@@ -103,9 +113,7 @@ def cmd_status(args) -> int:
     spark = _spark(args)
     cat = Catalog(args.workdir)
     out: dict = {"workdir": args.workdir, "tables": {}}
-    for t in ("posts", "images", "image_clusters", "files", "seen",
-              "crawl_order", "lineage", "checkpoints", "metrics", "errors",
-              "frontier", "politeness", "politeness_state"):
+    for t in STATE_TABLES:
         df = cat.read(spark, t)
         out["tables"][t] = {
             "rows": df.count() if df is not None else 0,
@@ -137,9 +145,7 @@ def cmd_vacuum(args) -> int:
 
     cat = Catalog(args.workdir)
     out: dict = {}
-    for t in ("posts", "images", "image_clusters", "files", "seen",
-              "crawl_order", "lineage", "checkpoints", "metrics", "robots",
-              "errors", "frontier", "politeness", "politeness_state"):
+    for t in STATE_TABLES:
         if cat.exists(t):
             out[t] = cat.vacuum(t, keep_last=args.keep_last)
     print(json.dumps({"workdir": args.workdir, "keep_last": args.keep_last,
@@ -148,13 +154,19 @@ def cmd_vacuum(args) -> int:
 
 
 def cmd_reset(args) -> int:
+    """Drop EVERY table directory under the workdir — enumerated from the
+    filesystem, not a hardcoded tuple, so a newly added state table (the
+    round-5 dedup tables were once missed here) can never survive a reset
+    and silently poison a re-crawl's anti-joins with stale state."""
+    import os
+
     from crawlspark.catalog import Catalog
 
     cat = Catalog(args.workdir)
-    for t in ("posts", "images", "image_clusters", "files", "seen",
-              "crawl_order", "lineage", "checkpoints", "metrics", "robots",
-              "errors", "frontier", "politeness", "politeness_state"):
-        cat.drop(t)
+    if os.path.isdir(args.workdir):
+        for t in sorted(os.listdir(args.workdir)):
+            if os.path.isdir(os.path.join(args.workdir, t)):
+                cat.drop(t)
     print(f"reset: cleared state under {args.workdir}")
     return 0
 
@@ -241,9 +253,12 @@ def export_text_blobs(spark, workdir: str, out_dir: str) -> int | None:
         return None
     os.makedirs(out_dir, exist_ok=True)
     blobs = df.select("post_id", text_blob_col().alias("blob"))
-    n = blobs.count()
+    # count in the same pass (accumulator) — a separate count() job would
+    # re-scan posts and re-build every blob string just to count rows
+    acc = spark.sparkContext.accumulator(0)
 
     def _write(rows):
+        c = 0
         for r in rows:
             with open(
                 os.path.join(out_dir, f"{r['post_id']}.txt"),
@@ -251,9 +266,11 @@ def export_text_blobs(spark, workdir: str, out_dir: str) -> int | None:
                 encoding="utf-8",
             ) as f:
                 f.write(r["blob"])
+            c += 1
+        acc.add(c)
 
     blobs.foreachPartition(_write)
-    return n
+    return acc.value
 
 
 def export_images(
@@ -284,19 +301,30 @@ def export_images(
     sel = df.select("post_id", "img_idx", "fmt", "bytes").filter(
         F.col("bytes").isNotNull()
     )
-    n = sel.count()
     os.makedirs(out_dir, exist_ok=True)
 
+    # count inside the write pass via an accumulator: the former separate
+    # sel.count() job scanned the bytes-bearing images table a second time
+    # (bytes sit in the projection, so the count job read them too). File
+    # writes are idempotent (fixed path per image), so a retried task
+    # re-writes the same files; the accumulator could then over-count, in
+    # which case fall back on nothing — the count is reporting, the files
+    # are the product.
+    acc = spark.sparkContext.accumulator(0)
+
     def _write(rows):
+        c = 0
         for r in rows:
             d = os.path.join(out_dir, r["post_id"])
             os.makedirs(d, exist_ok=True)
             name = f"image_{r['img_idx']}.{r['fmt']}"
             with open(os.path.join(d, name), "wb") as f:
                 f.write(bytes(r["bytes"]))
+            c += 1
+        acc.add(c)
 
     sel.foreachPartition(_write)
-    return n
+    return acc.value
 
 
 def cmd_export(args) -> int:

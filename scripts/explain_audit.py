@@ -127,6 +127,24 @@ CHECKS = {
         "NoJoin": "!Join",
         "PrunedToId": r"ReadSchema: struct<doc_id:bigint>",
     },
+    "w5_topk_per_group": {
+        # per-group top-k: Spark 3.5's WindowGroupLimit runs a PARTIAL
+        # top-3 before the exchange, so at most 3 rows per group per map
+        # partition are shuffled — this is why a collect_list/slice
+        # rewrite measured no faster (round 6); one shuffle, no join
+        "MapSideTopK": r"row_number\(\), 3, Partial",
+        "NoJoin": "!Join",
+        "PrunedSchema": r"ReadSchema: struct<l_orderkey:bigint,l_partkey:"
+                        r"bigint,l_linenumber:int,l_extendedprice:double>",
+    },
+    "a2_merge_records_by_id": {
+        # merge-by-id: ONE partial+final aggregate pair around a single
+        # exchange (ObjectHashAggregate because of collect_list/max_by);
+        # no re-join of the merged frame anywhere
+        "PartialAgg": r"ObjectHashAggregate",
+        "NoJoin": "!Join",
+        "NoWindow": "!Window",
+    },
     "img_incremental_band_pairs": {
         # incremental dedup's new-vs-index pass: an EQUI shuffle join on
         # (band_id, band_val) — 4 scalar rows per image per side. A
@@ -150,7 +168,7 @@ def _build_img_incremental_band_pairs(spark, sf_dir: str):
     audit builds the frame directly from the factored pure function."""
     from pyspark.sql import functions as F
 
-    from crawlspark.imagededup import incremental_band_pairs
+    from crawlspark.imagededup import _bands_frame, incremental_band_pairs
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     imgs = docs.select(
@@ -158,13 +176,18 @@ def _build_img_incremental_band_pairs(spark, sf_dir: str):
         F.xxhash64(F.col("doc_id").cast("string")).alias("phash"),
     )
     # the join operates at DISTINCT-phash level (exact-dup multiplicity
-    # never inflates it); new = the 10% of phashes from new images
-    all_ph = imgs.select("phash").distinct()
-    new_ph = (
+    # never inflates it); new = the 10% of phashes from new images. The
+    # round-6 engine feeds the old side from the bucket-pruned image_bands
+    # state; the audit bands both frames inline (same join shape).
+    old_bands = _bands_frame(
+        imgs.filter(F.pmod(F.col("image_id"), F.lit(10)) != 0)
+        .select("phash").distinct()
+    )
+    new_bands = _bands_frame(
         imgs.filter(F.pmod(F.col("image_id"), F.lit(10)) == 0)
         .select("phash").distinct()
     )
-    return incremental_band_pairs(new_ph, all_ph)
+    return incremental_band_pairs(new_bands, old_bands)
 
 
 EXTRA_BUILDERS = {

@@ -420,6 +420,89 @@ def test_threshold_zero_keeps_only_exact(spark, tmp_path):
     assert members.filter(F.col("image_id").startswith("copy_")).count() == 0
 
 
+def test_small_delta_reads_bounded_band_state(spark, tmp_path):
+    """A tick with a tiny delta must read only the band_pt bucket subdirs
+    its delta's band values map to — never the whole accumulated band
+    state (the round-6 O(delta) fix: no per-tick full-index distinct or
+    band explosion)."""
+    from crawlspark.imagededup import _band_state_scan, _bands_frame
+
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    dedup_images(spark, wd)
+    cat = Catalog(wd)
+    full = _band_state_scan(spark, cat, None)
+    all_files = set(full.inputFiles())
+    assert all_files
+
+    fresh_phash = 0x0123456789ABCDEF  # not derived from any fixture pixel
+    new_ph = spark.createDataFrame([(fresh_phash,)], "phash long")
+    pts = [
+        r.band_pt
+        for r in _bands_frame(new_ph).select("band_pt").distinct().collect()
+    ]
+    assert len(pts) <= 4
+    pruned = _band_state_scan(spark, cat, pts)
+    pruned_files = set(pruned.inputFiles()) if pruned is not None else set()
+    assert pruned_files <= all_files
+    assert len(pruned_files) < len(all_files), (
+        "small-delta scan read the full band state"
+    )
+
+    # and the end-to-end tick over that delta stays correct
+    one = cat.read(spark, "images").limit(1).select(
+        F.lit("bs_new").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption",
+        F.lit(fresh_phash).alias("phash"),
+        "ocr_text", "post_id", "url", "img_idx",
+        (F.col("page") + 8000).cast("int").alias("page"), "pos_in_page",
+    )
+    cat.append(spark, one, "images", meta={"planted": "bs"})
+    s = dedup_images(spark, wd)
+    assert s["new_images"] == 1
+    one_shot = image_cluster_members(cat.read(spark, "images"))
+    assert _clusters_as_sets(cat.read(spark, "image_clusters")) == \
+        _clusters_as_sets(one_shot)
+
+
+def test_pre_band_state_workdir_backfills_once(spark, tmp_path):
+    """A workdir written before the image_bands state existed (simulated
+    by dropping the table) must backfill it from the index exactly once,
+    report it in stats, and keep incremental == one-shot."""
+    wd = str(tmp_path / "wd")
+    _crawl_with_planted_copies(spark, wd)
+    s0 = dedup_images(spark, wd)
+    assert not s0["bands_backfilled"]
+    cat = Catalog(wd)
+    cat.drop("image_bands")  # round-5-shaped workdir
+
+    imgs = cat.read(spark, "images")
+    extra = imgs.limit(2).select(
+        F.concat(F.lit("bf_"), "image_id").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption",
+        F.col("phash").bitwiseXOR(F.lit(2)).alias("phash"),
+        "ocr_text", "post_id", "url", "img_idx",
+        (F.col("page") + 6000).cast("int").alias("page"), "pos_in_page",
+    )
+    cat.append(spark, extra, "images", meta={"planted": "bf"})
+    s1 = dedup_images(spark, wd)
+    assert s1["bands_backfilled"]
+    assert s1["new_images"] == 2
+    s2_extra = imgs.limit(1).select(
+        F.concat(F.lit("bf2_"), "image_id").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption",
+        F.col("phash").bitwiseXOR(F.lit(6)).alias("phash"),
+        "ocr_text", "post_id", "url", "img_idx",
+        (F.col("page") + 6500).cast("int").alias("page"), "pos_in_page",
+    )
+    cat.append(spark, s2_extra, "images", meta={"planted": "bf2"})
+    s2 = dedup_images(spark, wd)
+    assert not s2["bands_backfilled"]  # state now present: no re-backfill
+    one_shot = image_cluster_members(cat.read(spark, "images"))
+    assert _clusters_as_sets(cat.read(spark, "image_clusters")) == \
+        _clusters_as_sets(one_shot)
+
+
 def test_cli_dedup_images_and_status(spark, tmp_path, capsys, monkeypatch):
     from crawlspark import cli
 
