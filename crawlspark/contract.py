@@ -30,6 +30,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read `name` ensuring the SCAN STAGE can feed the cores. A parquet
+    row group is the minimum split unit, and the driver-generated testdata
+    ships single-row-group files (documents/events/embeddings = 1), so
+    every expression fused into the scan stage — regex projections, Arrow
+    stages, higher-order folds — would otherwise run in ONE task no matter
+    the split count (observed as N-1 empty tasks + one straggler). Guide
+    §2.5: "one huge unsplittable file … repartition immediately after the
+    read". The repartition is applied ONLY when the file's row groups
+    cannot feed half the cores (a no-op branch on well-laid-out inputs),
+    and only operators whose scan-stage compute dominates a small shuffle
+    call this variant."""
+    df = _t(spark, sf_dir, name)
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415 — driver-side metadata
+
+        groups = pq.ParquetFile(f"{sf_dir}/{name}.parquet").num_row_groups
+    except Exception:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if groups * 2 < par:
+        return df.repartition(par)
+    return df
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         Q[name] = fn

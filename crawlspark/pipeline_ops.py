@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawlspark.contract import SQL, Q, _t, register
+from crawlspark.contract import SQL, Q, _t, _t_wide, register
 
 # ---------------------------------------------------------------- dedup
 
@@ -215,8 +215,10 @@ def dedup_minhash_signatures(spark, sf_dir):
     split (inlining the split re-evaluates the regex 4x inside the
     generator expression — measured 4.9s -> 2.4s at sf1.0), then one Arrow
     stage computes the per-doc mins with memoized C md5
-    (_minhash_from_shingle_arrays). Zero shuffle end to end."""
-    d = _t(spark, sf_dir, "documents")
+    (_minhash_from_shingle_arrays). The only data movement is _t_wide's
+    repartition when the source file cannot feed the cores
+    (single-row-group testdata)."""
+    d = _t_wide(spark, sf_dir, "documents")
     wdf = d.select("doc_id", F.split("text", r"\s+").alias("__w"))
     shdf = wdf.select("doc_id", _shingles_spark(F.col("__w")).alias("__sh"))
     return _minhash_from_shingle_arrays(shdf)
@@ -327,7 +329,7 @@ def dedup_cluster_assign(spark, sf_dir):
 
 
 def cluster_from_pairs(
-    pairs: DataFrame, max_rounds: int = 50, checkpoint_every: int = 8
+    pairs: DataFrame, max_rounds: int = 50, checkpoint_every: int = 4
 ) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) pair frame by
     iterative min-label propagation -> (doc_id, cluster).
@@ -343,7 +345,10 @@ def cluster_from_pairs(
     - lineage is TRUNCATED with localCheckpoint every `checkpoint_every`
       rounds, so the live plan never holds more than that many rounds of
       joins regardless of component diameter
-      (tests/test_cluster_deep_chain.py). The label frame is (doc_id,
+      (tests/test_cluster_deep_chain.py). Default 4: on sf1.0's
+      diameter-40 LSH graph the per-round planning cost over the
+      growing in-window plan dominated at 8 (measured 48s -> 18.5s by
+      moving 8 -> 4; 2 and 1 measured no further gain). The label frame is (doc_id,
       cluster) — tiny — so the checkpoint materialization is O(nodes),
       dwarfed by the round's own shuffle."""
     # materialize the symmetric edge set ONCE: nodes, self-loops, and the
@@ -374,11 +379,16 @@ def cluster_from_pairs(
     converged = False
     to_unpersist = labels
     for rnd in range(1, max_rounds + 1):
-        # one job per round: the self-loop row carries each node's OWN
-        # previous label through the same join, so the convergence check is
-        # a filter over the just-persisted frame instead of a second
-        # join-with-old-labels job (guide §2.4: two operations keyed the
-        # same way share one pass)
+        # one heavy job per round: the self-loop row carries each node's
+        # OWN previous label through the same join, so the convergence
+        # check is a filter over the just-persisted frame instead of a
+        # second join-with-old-labels job (guide §2.4)
+        # (round-6 note: a pointer-doubling variant — jump each label to
+        # its label's label per round — was tried here and REJECTED by
+        # measurement: it references the round frame twice, which doubles
+        # the logical plan per round (the exact growth this loop's
+        # reference-once design prevents), and on the sf1.0 LSH graph it
+        # barely reduced the round count.)
         new_full = (
             edges.join(
                 labels.select(
@@ -516,7 +526,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     candidate CTE so both sides verify the full lsh->confirm pipeline.
     Unigram sets because the synthetic corpus shares vocabulary but not
     3-gram sequences."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     cand = dedup_minhash_lsh_pairs(spark, sf_dir)
     sets = d.select(
         "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("sset")
@@ -548,6 +558,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _vec_dot(x, y):
+    # NOTE (round-6, measured): an unrolled 64-term scalar sum and an
+    # aggregate-over-sequence fold were both tried here; the unrolled
+    # form REGRESSED 2-4x (expression size defeats whole-stage codegen)
+    # and the sequence fold measured equal to this zip_with fold, so the
+    # original stands. ~0.6us/dot on local[32].
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q),
         F.lit(0.0),
@@ -708,7 +723,7 @@ def dedup_embedding_ivf(spark, sf_dir):
     K-centroid broadcast join for assignment, then a cell-keyed self-join
     whose fan-out is bounded by nprobe x cell size; no all-pairs path
     exists."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")
     as_double = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -797,7 +812,7 @@ def ann_cosine_topk(spark, sf_dir):
     dot(v, v) per candidate pair — 3 array aggregates per pair become 1,
     and sqrt over the same fold yields the bit-identical denominator
     (measured 2.4s -> 1.4s at sf1.0)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")
 
     def dot(x, y):
         return F.aggregate(
@@ -856,7 +871,7 @@ _PLANES_SQL = ",\n".join(
 def ann_lsh_bucket(spark, sf_dir):
     """Random-hyperplane LSH bucketing (sign of dot with 8 fixed ±1 planes)
     — the scale path for ANN: candidate search only within a bucket."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")
 
     def dotlit(pl):
         arr = F.array(*[F.lit(x) for x in pl])
@@ -1054,7 +1069,10 @@ def multimodal_decode_resize(spark, sf_dir):
 
     from crawlspark import codec
 
-    full = _t(spark, sf_dir, "documents")
+    # _t_wide: the Arrow stage below does the heavy per-doc synth/decode
+    # work — on a single-row-group source it would run in ONE Python
+    # worker (measured 15.3s -> ~1s at sf1.0 after the repartition)
+    full = _t_wide(spark, sf_dir, "documents")
     d = full.select("doc_id")
 
     def pipe(batches):
@@ -1137,7 +1155,9 @@ def multimodal_frame_sample(spark, sf_dir):
 
     from crawlspark import codec
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # _t_wide for the same reason as multimodal_decode_resize (measured
+    # 46.7s -> ~2s at sf1.0: the whole frame synth ran in one worker)
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     frame_bytes = FRAME_W * FRAME_H * 3
 
     def pipe(batches):
