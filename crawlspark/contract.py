@@ -44,13 +44,20 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     call this variant."""
     df = _t(spark, sf_dir, name)
     try:
+        import os  # noqa: PLC0415
+
         import pyarrow.parquet as pq  # noqa: PLC0415 — driver-side metadata
 
-        groups = pq.ParquetFile(f"{sf_dir}/{name}.parquet").num_row_groups
+        path = f"{sf_dir}/{name}.parquet"
+        groups = pq.ParquetFile(path).num_row_groups
+        nbytes = os.path.getsize(path)
     except Exception:
         return df
     par = spark.sparkContext.defaultParallelism
-    if groups * 2 < par:
+    # both conditions scale-adaptive: too few row groups for the cores AND
+    # enough bytes that the single-task work outweighs the repartition
+    # (below ~4 MB the shuffle overhead measurably loses at small SFs)
+    if groups * 2 < par and nbytes >= 4 * 1024 * 1024:
         return df.repartition(par)
     return df
 

@@ -870,8 +870,11 @@ _PLANES_SQL = ",\n".join(
 )
 def ann_lsh_bucket(spark, sf_dir):
     """Random-hyperplane LSH bucketing (sign of dot with 8 fixed ±1 planes)
-    — the scale path for ANN: candidate search only within a bucket."""
-    e = _t_wide(spark, sf_dir, "embeddings")
+    — the scale path for ANN: candidate search only within a bucket.
+    (No _t_wide here: the repartition measured a wash at sf1.0 — the
+    shuffle costs what the extra parallelism gains — and a clear loss at
+    sf0.1.)"""
+    e = _t(spark, sf_dir, "embeddings")
 
     def dotlit(pl):
         arr = F.array(*[F.lit(x) for x in pl])
