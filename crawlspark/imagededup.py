@@ -137,6 +137,10 @@ def _members_from_components(
     comparison is exactly row_number()==1 under the same
     (page, pos_in_page, img_idx, image_id) order: image_id is unique, so
     the minimum is unique."""
+    # ph_comp's lineage (CC labels + exact-dup singles anti-join) would
+    # otherwise re-evaluate once per members reference below; one lazy
+    # materialization of the small (phash, comp) frame feeds both
+    ph_comp = ph_comp.localCheckpoint(eager=False)
     members = rows.select("image_id", "phash", *_ORDER_COLS).join(
         ph_comp, "phash"
     )
